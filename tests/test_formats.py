@@ -1,0 +1,200 @@
+"""Format detection + Turtle/RDF-XML/JSON-LD parser tests.
+
+Mirrors tests/Unit/RdfParserTest.php detection cases and the integration
+fixture expectations (tests/Integration/RdfParserPipelineTest.php:30-83).
+"""
+
+import pathlib
+
+import pytest
+
+from parser_rdf_ray.formats import detect, jsonld, rdfxml, turtle
+from parser_rdf_ray.model import ParseError
+
+INTEGRATION = pathlib.Path("/root/reference/tests/Fixtures/Integration")
+
+TTL = (INTEGRATION / "sample.ttl").read_text()
+NT = (INTEGRATION / "sample.nt").read_text()
+RDFXML = (INTEGRATION / "sample.rdf").read_text()
+JSONLD = (INTEGRATION / "sample.jsonld").read_text()
+
+
+class TestDetection:
+    def test_turtle(self):
+        assert detect.detect_format(TTL) == "turtle"
+
+    def test_ntriples(self):
+        assert detect.detect_format(NT) == "n-triples"
+
+    def test_rdfxml(self):
+        assert detect.detect_format(RDFXML) == "rdf/xml"
+
+    def test_jsonld(self):
+        assert detect.detect_format(JSONLD) == "json-ld"
+
+    def test_plain_text_unknown(self):
+        assert detect.detect_format("hello world, not rdf at all") == "unknown"
+        assert detect.detect_format("<html><body>nope</body></html>") == "unknown"
+
+    def test_priority_jsonld_first(self):
+        assert detect.supported_formats() == ["json-ld", "turtle", "n-triples", "rdf/xml"]
+
+    def test_register_prepends(self):
+        plug = detect.FormatPlugin("custom", lambda c: c.startswith("CUSTOM"), lambda c: ([], None))
+        plugins = detect.register_plugin(plug)
+        assert detect.supported_formats(plugins)[0] == "custom"
+        assert detect.detect_format("CUSTOM stuff", plugins) == "custom"
+
+
+def _spo(triples):
+    return {(t.subj, t.pred, t.obj) for t in triples}
+
+
+EXPECTED_SPO = {
+    (
+        "http://example.org/Person",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://www.w3.org/2000/01/rdf-schema#Class",
+    ),
+    ("http://example.org/Person", "http://www.w3.org/2000/01/rdf-schema#label", "Person"),
+    (
+        "http://example.org/name",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property",
+    ),
+    ("http://example.org/name", "http://www.w3.org/2000/01/rdf-schema#label", "name"),
+    (
+        "http://example.org/name",
+        "http://www.w3.org/2000/01/rdf-schema#domain",
+        "http://example.org/Person",
+    ),
+}
+
+
+class TestSameContentAcrossFormats:
+    """The 4 integration fixtures carry the same 5 triples — every parser
+    must emit the identical (s,p,o) set."""
+
+    def test_turtle(self):
+        triples, prefixes = turtle.parse(TTL)
+        assert _spo(triples) == EXPECTED_SPO
+        assert prefixes["ex"] == "http://example.org/"
+
+    def test_ntriples(self):
+        from parser_rdf_ray.formats import ntriples
+
+        assert _spo(ntriples.parse(NT)) == EXPECTED_SPO
+
+    def test_rdfxml(self):
+        triples, _root = rdfxml.parse(RDFXML)
+        assert _spo(triples) == EXPECTED_SPO
+
+    def test_jsonld(self):
+        triples, ctx = jsonld.parse(JSONLD)
+        assert _spo(triples) == EXPECTED_SPO
+        assert ctx["ex"] == "http://example.org/"
+
+
+class TestTurtle:
+    def test_predicate_and_object_lists(self):
+        triples, _ = turtle.parse(
+            "@prefix ex: <http://e/> .\n"
+            "ex:s ex:p ex:o1, ex:o2 ; ex:q ex:o3 ."
+        )
+        assert _spo(triples) == {
+            ("http://e/s", "http://e/p", "http://e/o1"),
+            ("http://e/s", "http://e/p", "http://e/o2"),
+            ("http://e/s", "http://e/q", "http://e/o3"),
+        }
+
+    def test_a_keyword_and_literals(self):
+        triples, _ = turtle.parse(
+            '@prefix ex: <http://e/> .\nex:s a ex:T ; ex:n 42 ; ex:f 1.5 ; ex:b true ; ex:l "x"@en .'
+        )
+        spo = {(t.pred, t.obj, t.obj_kind, t.obj_datatype, t.obj_lang) for t in triples}
+        assert ("http://e/n", "42", "literal", "http://www.w3.org/2001/XMLSchema#integer", "") in spo
+        assert ("http://e/b", "true", "literal", "http://www.w3.org/2001/XMLSchema#boolean", "") in spo
+        assert ("http://e/l", "x", "literal", "", "en") in spo
+
+    def test_blank_node_property_list(self):
+        triples, _ = turtle.parse(
+            "@prefix ex: <http://e/> .\nex:s ex:p [ ex:q ex:o ] ."
+        )
+        bn = [t for t in triples if t.pred == "http://e/p"][0]
+        assert bn.obj_kind == "bnode"
+        nested = [t for t in triples if t.subj == bn.obj][0]
+        assert nested.pred == "http://e/q" and nested.obj == "http://e/o"
+
+    def test_collection(self):
+        triples, _ = turtle.parse(
+            "@prefix ex: <http://e/> .\n"
+            "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+            "ex:s ex:domain [ owl:unionOf ( ex:A ex:B ) ] ."
+        )
+        firsts = [t.obj for t in triples if t.pred.endswith("#first")]
+        assert firsts == ["http://e/A", "http://e/B"]
+        rests = [t for t in triples if t.pred.endswith("#rest")]
+        assert rests[-1].obj.endswith("#nil")
+
+    def test_base_unsupported(self):
+        with pytest.raises(ParseError):
+            turtle.parse("@base <http://e/> .\n<s> <p> <o> .")
+
+    def test_undefined_prefix(self):
+        with pytest.raises(ParseError):
+            turtle.parse("ex:s ex:p ex:o .")
+
+    def test_detection_requires_prefix(self):
+        assert turtle.can_handle("@prefix ex: <http://e/> .") is True
+        assert turtle.can_handle("PREFIX ex: <http://e/>") is True
+        assert turtle.can_handle("<http://e/s> <http://e/p> <http://e/o> .") is False
+
+    def test_long_strings(self):
+        triples, _ = turtle.parse(
+            '@prefix ex: <http://e/> .\nex:s ex:p """multi\nline "quoted" text""" .'
+        )
+        assert triples[0].obj == 'multi\nline "quoted" text'
+
+    def test_trailing_dot_in_qname(self):
+        triples, _ = turtle.parse("@prefix ex: <http://e/> .\nex:s ex:p ex:o.")
+        assert triples[0].obj == "http://e/o"
+
+
+class TestRdfXml:
+    def test_typed_node_and_nested(self):
+        triples, _ = rdfxml.parse(
+            """<?xml version="1.0"?>
+            <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                     xmlns:ex="http://e/">
+              <ex:Thing rdf:about="http://e/t1">
+                <ex:rel><ex:Other rdf:about="http://e/t2"/></ex:rel>
+                <ex:lit rdf:datatype="http://www.w3.org/2001/XMLSchema#int">5</ex:lit>
+              </ex:Thing>
+            </rdf:RDF>"""
+        )
+        spo = _spo(triples)
+        assert ("http://e/t1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://e/Thing") in spo
+        assert ("http://e/t1", "http://e/rel", "http://e/t2") in spo
+        assert ("http://e/t2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://e/Other") in spo
+        lit = [t for t in triples if t.pred == "http://e/lit"][0]
+        assert lit.obj == "5" and lit.obj_datatype.endswith("#int")
+
+    def test_malformed_xml(self):
+        with pytest.raises(ParseError):
+            rdfxml.parse("<?xml version='1.0'?><rdf:RDF <broken")
+
+    def test_xmlns_prefix_regex(self):
+        prefixes = rdfxml.extract_xmlns_prefixes(RDFXML)
+        assert prefixes["ex"] == "http://example.org/"
+
+
+class TestJsonLd:
+    def test_context_prefixes_url_validated(self):
+        prefixes = jsonld.extract_context_prefixes(
+            '{"@context": {"ex": "http://e/", "notaurl": "just words", "n": 5}}'
+        )
+        assert prefixes == {"ex": "http://e/"}
+
+    def test_invalid_json(self):
+        with pytest.raises(ParseError):
+            jsonld.parse('{"@context": broken')
