@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship KG-construction pipeline on sf0.001.
+queries(): one callable per implemented operator/pipeline (SURVEY.md §2).
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in parser_rdf_ray) calls ray.init()/ray.shutdown().
+
+The KG queries run over RDF payloads derived deterministically from the
+driver documents table (parser_rdf_ray/sources/documents.py), so plain SQL
+can re-derive the expected triples/entities and verify the whole
+assemble→detect→parse→extract→merge path end-to-end.
 """
 
 from __future__ import annotations
@@ -18,27 +18,454 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# namespace constants mirrored in the SQL strings below
+_DOC = "http://ex.org/doc/"
+_VOCAB = "http://ex.org/vocab/"
+_CLASS = "http://ex.org/Class/"
+_SHAPE = "http://ex.org/shape/"
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_SH = "http://www.w3.org/ns/shacl#"
+
+# non-error docs (parse-error injection slice: n-triples docs, doc_id%13==7)
+_OK_DOCS = "SELECT doc_id, source, lang, n_chars FROM documents WHERE NOT (doc_id % 4 = 0 AND doc_id % 13 = 7)"
+
+_TRIPLES_CTE = f"""
+WITH d AS ({_OK_DOCS}),
+ttl AS (SELECT * FROM d WHERE doc_id % 4 = 1),
+trip AS (
+  SELECT doc_id, '{_DOC}' || doc_id AS subj, '{_VOCAB}source' AS pred, source AS obj FROM d
+  UNION ALL SELECT doc_id, '{_DOC}' || doc_id, '{_VOCAB}lang', lang FROM d
+  UNION ALL SELECT doc_id, '{_DOC}' || doc_id, '{_VOCAB}nchars', CAST(n_chars AS VARCHAR) FROM d
+  UNION ALL SELECT doc_id, '{_CLASS}' || source, '{_RDF}type', '{_RDFS}Class' FROM d
+  UNION ALL SELECT doc_id, '{_CLASS}' || source, '{_RDFS}label', source FROM d
+  UNION ALL SELECT doc_id, '{_VOCAB}source', '{_RDF}type', '{_RDF}Property' FROM ttl
+  UNION ALL SELECT doc_id, '{_VOCAB}source', '{_RDFS}label', 'source' FROM ttl
+  UNION ALL SELECT doc_id, '{_VOCAB}lang', '{_RDF}type', '{_RDF}Property' FROM ttl
+  UNION ALL SELECT doc_id, '{_VOCAB}lang', '{_RDFS}label', 'lang' FROM ttl
+  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_RDF}type', '{_SH}NodeShape' FROM ttl
+  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_SH}targetClass', '{_CLASS}' || source FROM ttl
+  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_SH}minCount', '1' FROM ttl
+)
+"""
+
+
+def _docs(sf_dir: str):
+    from parser_rdf_ray.sources.documents import read_span_documents
+
+    return read_span_documents(sf_dir)
+
+
+def _assembled(sf_dir: str):
+    from parser_rdf_ray.stages.assemble import assemble_spans
+
+    return _docs(sf_dir).map_batches(
+        assemble_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _flat_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG build (assemble → parse → canonicalize → dedup →
+    sort) on sf0.001; returns the sorted adjacency Dataset."""
+    adjacency, _errors = _build_kg_adjacency("/root/testdata/sf0.001")
+    return adjacency
+
+
+def _build_kg_adjacency(sf_dir: str):
+    from parser_rdf_ray.pipelines.kg_build import build_kg
+
+    return build_kg(_docs(sf_dir))
+
+
+# --- query callables -------------------------------------------------------
+
+
+def _q_kg_triples(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.kg_build import documents_to_raw_triples, split_errors
+
+    ok, _ = split_errors(documents_to_raw_triples(_docs(sf_dir)))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_id"), pa.int64()),
+                b.column("subj"),
+                b.column("pred"),
+                b.column("obj"),
+            ],
+            names=["doc_id", "subj", "pred", "obj"],
+        )
+
+    return ok.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_kg_adjacency(sf_dir: str):
+    adjacency, _ = _build_kg_adjacency(sf_dir)
+    return adjacency.select_columns(["subj", "pred", "obj"])
+
+
+def _q_kg_errors(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.kg_build import documents_to_raw_triples, split_errors
+
+    _, errors = split_errors(documents_to_raw_triples(_docs(sf_dir)))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("doc_id"), pa.int64()), b.column("error_type")],
+            names=["doc_id", "error_type"],
+        )
+
+    return errors.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_kg_classes(sf_dir: str):
+    from parser_rdf_ray.stages.extract import ExtractClasses, merge_classes_global
+
+    classes = _assembled(sf_dir).map_batches(
+        ExtractClasses(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = merge_classes_global(classes, salt_buckets=4)
+    return merged.select_columns(["uri", "label", "n_docs"])
+
+
+def _q_kg_properties(sf_dir: str):
+    from parser_rdf_ray.stages.extract import ExtractProperties, merge_properties_global
+
+    props = _assembled(sf_dir).map_batches(
+        ExtractProperties(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return merge_properties_global(props).select_columns(
+        ["uri", "label", "property_type", "n_docs"]
+    )
+
+
+def _q_kg_shapes(sf_dir: str):
+    from parser_rdf_ray.stages.extract import ExtractShapes, merge_shapes_global
+
+    shapes = _assembled(sf_dir).map_batches(
+        ExtractShapes(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return merge_shapes_global(shapes).select_columns(
+        ["uri", "target_class", "n_docs"]
+    )
+
+
+def _q_kg_prefixes(sf_dir: str):
+    from parser_rdf_ray.stages.extract import ExtractPrefixes
+
+    prefixes = _assembled(sf_dir).map_batches(
+        ExtractPrefixes(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    counted = prefixes.groupby(["prefix", "namespace"]).count()
+    return counted.rename_columns({"count()": "n_docs"})
+
+
+def _q_dedup_exact(sf_dir: str):
+    from parser_rdf_ray.pipelines.dedup import exact_dedup
+
+    survivors = exact_dedup(_flat_docs(sf_dir))
+    return survivors.rename_columns({"min(doc_id)": "doc_id"}).select_columns(["doc_id"])
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from parser_rdf_ray.pipelines.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_flat_docs(sf_dir), threshold=0.3).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from parser_rdf_ray.pipelines.dedup import simhash_dedup
+
+    return simhash_dedup(_flat_docs(sf_dir), max_hamming=8).select_columns(
+        ["doc_a", "doc_b", "hamming"]
+    )
+
+
+def _q_text_tokens(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import token_count
+
+    return token_count(_flat_docs(sf_dir))
+
+
+def _q_text_quality(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import quality_score
+
+    return quality_score(_flat_docs(sf_dir))
+
+
+def _q_text_langid(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import langid
+
+    return langid(_flat_docs(sf_dir))
+
+
+def _q_text_fingerprint(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import fingerprint
+
+    return fingerprint(_flat_docs(sf_dir))
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_knn_cosine(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.similarity import knn_brute_force
+
+    emb = _embeddings(sf_dir)
+
+    def keep_queries(b):
+        return b.filter(pc.less(b.column("vec_id"), 5)).select(["vec_id", "embedding"])
+
+    queries = {}
+    for r in emb.map_batches(keep_queries, batch_format="pyarrow").take_all():
+        queries[r["vec_id"]] = r["embedding"]
+    topk = knn_brute_force(emb, queries, k=10)
+    return topk.select_columns(["query_id", "vec_id"])
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from parser_rdf_ray.pipelines.similarity import embedding_near_dup_exact
+
+    return embedding_near_dup_exact(_embeddings(sf_dir), threshold=0.4)
+
+
+def _q_media_features(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.multimodal import media_features
+
+    feats = media_features(_docs(sf_dir))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_id"), pa.int64()),
+                b.column("media_ref"),
+                b.column("media_kind"),
+                b.column("decode_ok"),
+            ],
+            names=["doc_id", "media_ref", "media_kind", "decode_ok"],
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_rel_lineitem_agg(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.relational import lineitem_agg
+
+    agg = lineitem_agg(sf_dir)
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("l_returnflag"),
+                b.column("l_linestatus"),
+                pc.round(b.column("sum_qty"), 3),
+                pc.round(b.column("sum_base_price"), 3),
+                pc.round(b.column("sum_disc_price"), 3),
+                pc.cast(b.column("count_order"), pa.int64()),
+            ],
+            names=[
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ],
+        )
+
+    return agg.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_rel_join_topk(sf_dir: str):
+    from parser_rdf_ray.pipelines.relational import orders_join_topk
+
+    return orders_join_topk(sf_dir, k=10)
+
+
+def _q_rel_events_window(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.relational import events_window_agg
+
+    agg = events_window_agg(sf_dir)
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("event_type"),
+                b.column("hour"),
+                pc.round(b.column("sum_value"), 3),
+                pc.cast(b.column("n_events"), pa.int64()),
+            ],
+            names=["event_type", "hour", "sum_value", "n_events"],
+        )
+
+    return agg.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples": _q_kg_triples,
+        "kg_adjacency": _q_kg_adjacency,
+        "kg_errors": _q_kg_errors,
+        "kg_classes": _q_kg_classes,
+        "kg_properties": _q_kg_properties,
+        "kg_shapes": _q_kg_shapes,
+        "kg_prefixes": _q_kg_prefixes,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "knn_cosine": _q_knn_cosine,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "media_features": _q_media_features,
+        "rel_lineitem_agg": _q_rel_lineitem_agg,
+        "rel_join_topk": _q_rel_join_topk,
+        "rel_events_window": _q_rel_events_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["kg_triples"] = _TRIPLES_CTE + "SELECT doc_id, subj, pred, obj FROM trip"
+
+    sql["kg_adjacency"] = _TRIPLES_CTE + "SELECT DISTINCT subj, pred, obj FROM trip"
+
+    sql["kg_errors"] = (
+        "SELECT doc_id, 'ParseException' AS error_type FROM documents "
+        "WHERE doc_id % 4 = 0 AND doc_id % 13 = 7"
+    )
+
+    sql["kg_classes"] = (
+        f"WITH d AS ({_OK_DOCS}) "
+        f"SELECT '{_CLASS}' || source AS uri, source AS label, COUNT(*) AS n_docs "
+        "FROM d GROUP BY source"
+    )
+
+    sql["kg_properties"] = (
+        f"WITH ttl AS ({_OK_DOCS} AND doc_id % 4 = 1), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM ttl) "
+        f"SELECT '{_VOCAB}source' AS uri, 'source' AS label, 'datatype' AS property_type, n_docs FROM n "
+        "UNION ALL "
+        f"SELECT '{_VOCAB}lang', 'lang', 'datatype', n_docs FROM n"
+    )
+
+    sql["kg_shapes"] = (
+        f"WITH ttl AS ({_OK_DOCS} AND doc_id % 4 = 1) "
+        f"SELECT '{_SHAPE}' || source AS uri, '{_CLASS}' || source AS target_class, "
+        "COUNT(*) AS n_docs FROM ttl GROUP BY source"
+    )
+
+    # per-format declared+auto-detected prefix sets (verified against the
+    # extraction layer; see parser_rdf_ray/extract/entities.py X1-X6)
+    sql["kg_prefixes"] = (
+        f"WITH d AS ({_OK_DOCS}), "
+        "fmt AS (SELECT doc_id, doc_id % 4 AS f FROM d), "
+        "pfx AS ("
+        f"  SELECT doc_id, 'rdfs' AS prefix, '{_RDFS}' AS namespace FROM fmt"  # all formats
+        f"  UNION ALL SELECT doc_id, 'v', '{_VOCAB}' FROM fmt WHERE f IN (1,2,3)"
+        f"  UNION ALL SELECT doc_id, 'rdf', '{_RDF}' FROM fmt WHERE f IN (1,2)"
+        f"  UNION ALL SELECT doc_id, 'sh', '{_SH}' FROM fmt WHERE f = 1"
+        ") "
+        "SELECT prefix, namespace, COUNT(*) AS n_docs FROM pfx GROUP BY prefix, namespace"
+    )
+
+    sql["dedup_exact"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    sql["text_tokens"] = (
+        "SELECT doc_id, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents"
+    )
+
+    sql["text_quality"] = (
+        "WITH t AS (SELECT doc_id, text, "
+        " CAST(length(text) AS BIGINT) AS n_chars, "
+        " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+        " string_split_regex(trim(text), '\\s+') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, n_chars, n_tokens, "
+        " CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_token_len, "
+        " CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio, "
+        " CAST(len(list_filter(toks, x -> lower(x) IN "
+        "   ('the','and','of','to','in','is','it','that','for','with'))) AS DOUBLE) "
+        "   / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio "
+        "FROM t"
+    )
+
+    sql["knn_cosine"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        " list_cosine_similarity(q.qe, e.embedding) AS cosine FROM q CROSS JOIN embeddings e) "
+        "SELECT query_id, vec_id FROM scored "
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 10"
+    )
+
+    sql["embedding_near_dup"] = (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    )
+
+    sql["media_features"] = (
+        "WITH m AS (SELECT doc_id, unnest(range(doc_id % 3)) AS i FROM documents) "
+        "SELECT doc_id, 'media://' || doc_id || '/' || i AS media_ref, "
+        "CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind, "
+        "TRUE AS decode_ok FROM m"
+    )
+
+    sql["rel_lineitem_agg"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 3) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 3) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+    sql["rel_join_topk"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+
+    sql["rel_events_window"] = (
+        "SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, "
+        "ROUND(SUM(value), 3) AS sum_value, COUNT(*) AS n_events "
+        "FROM events GROUP BY event_type, hour"
+    )
+
+    # dedup_minhash / dedup_simhash / text_langid / text_fingerprint are
+    # non-SQL-expressible (sketch/heuristic ops) → rows-only checks.
+    return sql

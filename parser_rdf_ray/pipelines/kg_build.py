@@ -1,0 +1,123 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.1 Ray realization):
+
+    documents(spans) → assemble → parse → triples(+errors)
+    → canonicalize (skolemize + NFC) → [entity link] → [sameAs union-find]
+    → exact dedup → sort(subj,pred,obj) → adjacency
+
+Every stage is a map_batches transform over zero-copy Arrow batches; the
+only shuffles are the dedup groupby (uniform hash keys) and the final sort.
+All stages stream — nothing materializes the full dataset except optional
+stage checkpoints (state/lineage.py), and the union-find edge set, which is
+tiny by construction, is the single deliberate driver-side collect.
+"""
+
+from __future__ import annotations
+
+from parser_rdf_ray.stages import canonicalize as canon
+from parser_rdf_ray.stages import link as link_mod
+from parser_rdf_ray.stages.assemble import assemble_spans
+from parser_rdf_ray.stages.parse import ParseToTriples
+
+ADJACENCY_COLS = [
+    "subj",
+    "pred",
+    "obj",
+    "obj_kind",
+    "obj_datatype",
+    "obj_lang",
+    "graph",
+]
+
+
+def documents_to_raw_triples(documents_ds, format_override: str | None = None):
+    """documents(spans) → triples+errors union table (streaming, no shuffle)."""
+    ds = documents_ds.map_batches(
+        assemble_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.map_batches(
+        ParseToTriples(format_override=format_override),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def split_errors(raw):
+    """(ok_triples, error_rows) — vectorized Arrow filters."""
+    import pyarrow.compute as pc
+
+    def keep_ok(b):
+        return b.filter(pc.equal(b.column("error_type"), ""))
+
+    def keep_err(b):
+        return b.filter(pc.not_equal(b.column("error_type"), ""))
+
+    ok = raw.map_batches(keep_ok, batch_format="pyarrow", zero_copy_batch=True)
+    err = raw.map_batches(keep_err, batch_format="pyarrow", zero_copy_batch=True)
+    return ok, err
+
+
+def build_kg(
+    documents_ds,
+    *,
+    alias_dict: dict | None = None,
+    resolve_sameas: bool = False,
+    dedup: bool = True,
+    sort: bool = True,
+    checkpoint_dir: str | None = None,
+    run_id: str = "run0",
+):
+    """Full KG build. Returns (adjacency_ds, errors_ds).
+
+    alias_dict: optional surface→canonical map for the linking actor pool.
+    resolve_sameas: collect owl:sameAs edges, union-find on the driver,
+    broadcast the rename map back (W4).
+    checkpoint_dir: when set, the triples stage is checkpointed with a
+    lineage manifest and skipped on re-run (resume).
+    """
+    raw = documents_to_raw_triples(documents_ds)
+    triples, errors = split_errors(raw)
+    triples = triples.map_batches(
+        canon.canonicalize_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    if checkpoint_dir:
+        from parser_rdf_ray.state import lineage
+
+        triples, _resumed = lineage.checkpoint_stage(
+            triples, checkpoint_dir, "triples", fingerprint=run_id, run_id=run_id
+        )
+
+    edges: list[tuple[str, str]] = []
+    if alias_dict:
+        import ray
+
+        alias_ref = ray.put(alias_dict)
+        links = triples.map_batches(
+            link_mod.EntityLinker,
+            fn_constructor_args=(alias_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        edges.extend((r["mention_uri"], r["canonical_uri"]) for r in links.take_all())
+    if resolve_sameas:
+        edges.extend(link_mod.sameas_edges(triples))
+    if edges:
+        rename = link_mod.build_rename_map(edges)
+        triples = link_mod.apply_rename(triples, rename)
+
+    if dedup:
+        triples = canon.dedup_triples(triples)
+        triples = canon.drop_key(triples)
+
+    adjacency = triples
+    if sort:
+        adjacency = adjacency.sort(["subj", "pred", "obj"])
+    return adjacency, errors
+
+
+def write_adjacency(adjacency_ds, out_dir: str):
+    """Sorted adjacency materialization (W6/S7) — partitioned Parquet, one
+    file per block (resumable output layout; Lance shim: swap write_parquet
+    for write_lance when the lance package is available)."""
+    adjacency_ds.write_parquet(out_dir)

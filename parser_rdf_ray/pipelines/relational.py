@@ -1,0 +1,151 @@
+"""Generic wide-operator pipelines over the TPC-H-ish tables — the engine's
+groupby/aggregate, broadcast-join, and sort/limit building blocks, each
+DuckDB-oracle-verifiable.
+
+Design notes (100 TB):
+- Aggregations pre-combine inside map_batches where possible; the groupby
+  shuffle then moves partial aggregates, not raw rows.
+- Joins broadcast the small side (ray.put once, dict lookup per batch) —
+  never a two-sided shuffle when one side fits in memory.
+- Top-k runs as per-block partial top-k (map_batches) then a final tiny
+  reduce — no global sort of the full table.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def lineitem_agg(sf_dir: str):
+    """Q1-style: per (returnflag, linestatus) aggregate with a map-side
+    combiner so the shuffle carries one partial row per (group × block)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        grouped = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return grouped.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_base_price", "sum"),
+                ("sum_disc_price", "sum"),
+                ("count_order", "sum"),
+            ]
+        )
+        return agg.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ]
+        )
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def orders_join_topk(sf_dir: str, k: int = 10):
+    """Broadcast join orders←customer + global top-k by totalprice.
+    customer (small side) is collected once to a dict; orders stream.
+    Top-k: per-block partial top-k → final sort of ≤ k × n_blocks rows."""
+    import ray
+    import ray.data
+
+    customers = {}
+    cust_ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    for r in cust_ds.take_all():
+        customers[r["c_custkey"]] = (r["c_name"], r["c_mktsegment"])
+    cust_ref = ray.put(customers)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    class JoinTopK:
+        def __init__(self):
+            self.customers = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                batch,
+                sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+            )
+            batch = batch.take(idx[: min(k, len(idx))])
+            names, segs = [], []
+            lookup = self.customers
+            for ck in batch.column("o_custkey").to_pylist():
+                name, seg = lookup.get(ck, (None, None))
+                names.append(name)
+                segs.append(seg)
+            batch = batch.append_column("c_name", pa.array(names, pa.string()))
+            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    partials = orders.map_batches(JoinTopK, batch_format="pyarrow", concurrency=(1, 4))
+    final = partials.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return final
+
+
+def events_window_agg(sf_dir: str):
+    """Windowed/streaming-style aggregate: per (event_type, hour-of-day)
+    count + value sum — event-time bucketing as a vectorized map + groupby
+    combiner (the batch-semantics analog of a tumbling window)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hours = pc.hour(batch.column("ts"))
+        batch = batch.append_column("hour", pc.cast(hours, pa.int32()))
+        grouped = batch.group_by(["event_type", "hour"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return grouped.rename_columns(["event_type", "hour", "sum_value", "n_events"])
+
+    partials = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["event_type", "hour"]).aggregate(
+            [("sum_value", "sum"), ("n_events", "sum")]
+        )
+        return agg.rename_columns(["event_type", "hour", "sum_value", "n_events"])
+
+    return partials.groupby(["event_type", "hour"]).map_groups(final, batch_format="pyarrow")

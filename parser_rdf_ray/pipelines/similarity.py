@@ -1,0 +1,207 @@
+"""Similarity search over the embeddings table (vec_id, embedding, label).
+
+- knn_brute_force: exact cosine top-k. The query matrix is broadcast once
+  (ray.put → actor __init__), each batch does one numpy matmul against it,
+  and per-batch partial top-k rows (num_queries × k per block — tiny) are
+  reduced by a final groupby-free sort/limit per query on the driver side
+  of a small dataset. Scale path: data side streams, query side is the
+  broadcast small side — no shuffle of the corpus.
+- lsh_knn: random-hyperplane LSH bucketing (signed projections) so at
+  10^12 scale only same-bucket vectors are scored; brute-force fallback
+  inside buckets.
+- embedding_near_dup: cosine ≥ threshold near-duplicate pairs via bucketed
+  blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class BruteForceScorer:
+    """Actor-pool stage: query matrix loaded once per actor."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        queries = query_ref if isinstance(query_ref, dict) else ray.get(query_ref)
+        self.query_ids = np.array(list(queries.keys()), dtype=np.int64)
+        self.query_mat = _normalize(np.array(list(queries.values()), dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["query_id", "vec_id", "cosine"],
+            )
+        emb = _normalize(emb)
+        sims = self.query_mat @ emb.T  # (n_queries, n_batch)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            for j in idx[qi]:
+                out_q.append(int(qid))
+                out_v.append(int(vec_ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_v, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["query_id", "vec_id", "cosine"],
+        )
+
+
+def knn_brute_force(embeddings_ds, queries: dict[int, list[float]], k: int = 10):
+    """Exact top-k per query. Returns (query_id, vec_id, cosine) rows,
+    k per query, cosine-descending deterministic (ties → lower vec_id)."""
+    import ray
+
+    query_ref = ray.put(queries)
+    partials = embeddings_ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(query_ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    # final reduce: partials are tiny (n_queries × k × n_blocks)
+    def topk_per_query(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        df = df.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return partials.groupby("query_id").map_groups(topk_per_query, batch_format="pyarrow")
+
+
+_HYPERPLANE_SEED = 1234
+
+
+def _hyperplanes(dim: int, n_bits: int = 12) -> np.ndarray:
+    rng = np.random.RandomState(_HYPERPLANE_SEED)
+    return rng.normal(size=(n_bits, dim)).astype(np.float32)
+
+
+class LshBucketer:
+    def __init__(self, dim: int, n_bits: int = 12):
+        self.planes = _hyperplanes(dim, n_bits)
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes.T) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        buckets = self.bucket_of(emb) if emb.size else np.array([], dtype=np.int64)
+        return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+
+def embedding_near_dup(embeddings_ds, threshold: float = 0.95, dim: int = 64):
+    """(vec_a, vec_b, cosine) pairs with cosine ≥ threshold. LSH-bucketed
+    blocking → in-bucket exact cosine (near-identical vectors collide in
+    all-bits buckets with high probability)."""
+    bucketed = embeddings_ds.map_batches(
+        LshBucketer(dim), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def in_bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = _normalize(np.array(group.column("embedding").to_pylist(), dtype=np.float64))
+        order = np.argsort(ids)
+        ids, emb = ids[order], emb[order]
+        n = len(ids)
+        a, b, s = [], [], []
+        if n > 1:
+            sims = emb @ emb.T
+            ii, jj = np.triu_indices(n, k=1)
+            keep = sims[ii, jj] >= threshold
+            for i, j in zip(ii[keep], jj[keep]):
+                a.append(int(ids[i]))
+                b.append(int(ids[j]))
+                s.append(float(sims[i, j]))
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.int64()), pa.array(b, pa.int64()), pa.array(s, pa.float64())],
+            names=["vec_a", "vec_b", "cosine"],
+        )
+
+    return bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pyarrow")
+
+
+def embedding_near_dup_exact(embeddings_ds, threshold: float = 0.4):
+    """Exhaustive near-dup pairs: each streamed batch scores against the
+    full corpus matrix broadcast once (ray.put → actor __init__). Exact
+    (oracle-verifiable); O(n·N) work split across the pool. For corpora
+    where the matrix exceeds worker memory, use embedding_near_dup (LSH)."""
+    import ray
+
+    all_rows = embeddings_ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    mat = _normalize(np.array([r["embedding"] for r in all_rows], dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    class Scorer:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+            a, b = [], []
+            if emb.size:
+                sims = emb @ self.mat.T  # (batch, N)
+                ii, jj = np.nonzero(sims >= threshold)
+                for i, j in zip(ii, jj):
+                    va, vb = int(vec_ids[i]), int(self.ids[j])
+                    if va < vb:  # dedup: emit each unordered pair once
+                        a.append(va)
+                        b.append(vb)
+            return pa.Table.from_arrays(
+                [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+                names=["vec_a", "vec_b"],
+            )
+
+    return embeddings_ds.map_batches(
+        Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def knn_ivf(embeddings_ds, queries: dict[int, list[float]], k: int = 10, n_bits: int = 8):
+    """IVF/LSH-bucketed ANN: score only the buckets the queries fall in
+    (plus 1-bit-flip neighbors for recall). The scale path when brute force
+    over the full corpus is too expensive."""
+    dim = len(next(iter(queries.values())))
+    bucketer = LshBucketer(dim, n_bits)
+    qmat = _normalize(np.array(list(queries.values()), dtype=np.float64))
+    qbuckets = set(bucketer.bucket_of(qmat).tolist())
+    probe = set(qbuckets)
+    for b in qbuckets:
+        for bit in range(n_bits):
+            probe.add(b ^ (1 << bit))
+
+    bucketed = embeddings_ds.map_batches(
+        LshBucketer(dim, n_bits), batch_format="pyarrow", zero_copy_batch=True
+    )
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("bucket"), value_set=probe_arr))
+
+    candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow", zero_copy_batch=True)
+    return knn_brute_force(candidates, queries, k)

@@ -1,0 +1,186 @@
+"""Text-analysis operators (training-data pipeline ops): token counting,
+quality scoring, language ID, document fingerprinting.
+
+token_count and quality metrics are defined to be SQL-reproducible so the
+DuckDB oracle can verify them exactly; langid and fingerprints get
+rows-only checks (non-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = re.compile(r"\s+")
+# BPE-ish subword splitter: words, numbers, punctuation runs
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "it", "that", "for", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "est"},
+    "de": {"der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"},
+}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized token/char counts (Arrow kernels, no Python loop):
+    n_tokens = whitespace-delimited token count, SQL-equivalent to
+    len(string_split_regex(text, '\\s+')) on trimmed text."""
+    text = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_tokens = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    n_chars = pc.utf8_length(text)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pc.cast(n_tokens, pa.int64()),
+            pc.cast(n_chars, pa.int64()),
+        ],
+        names=["doc_id", "n_tokens", "n_chars"],
+    )
+
+
+def token_count(documents_ds):
+    return documents_ds.map_batches(
+        token_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Compiled-regex BPE-ish token counting."""
+    texts = batch.column("text").to_pylist()
+    counts = [len(_BPE_RE.findall(t)) for t in texts]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(counts, pa.int64())],
+        names=["doc_id", "n_bpe_tokens"],
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality metrics, all Arrow-kernel vectorized:
+    n_chars, n_tokens, mean_token_len, alpha_ratio (alphabetic chars /
+    chars), stopword_ratio (against the English profile)."""
+    text = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(text)
+    tokens = pc.split_pattern_regex(trimmed, r"\s+")
+    n_tokens = pc.cast(pc.list_value_length(tokens), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    alpha_chars = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(text, r"[^A-Za-z]", "")), pa.int64()
+    )
+    alpha_ratio = pc.divide(
+        pc.cast(alpha_chars, pa.float64()),
+        pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+    )
+    # stopword ratio needs set membership per token — flatten once
+    flat = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    stop_counts = []
+    en = _LANG_PROFILES["en"]
+    for toks in flat.to_pylist():
+        toks = toks or []
+        stop_counts.append(sum(1 for t in toks if t.lower() in en))
+    stop_ratio = [
+        s / max(n, 1) for s, n in zip(stop_counts, n_tokens.to_pylist())
+    ]
+    mean_tok = pc.divide(
+        pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
+        pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
+    )
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            n_chars,
+            n_tokens,
+            mean_tok,
+            alpha_ratio,
+            pa.array(stop_ratio, pa.float64()),
+        ],
+        names=["doc_id", "n_chars", "n_tokens", "mean_token_len", "alpha_ratio", "stopword_ratio"],
+    )
+
+
+def quality_score(documents_ds):
+    return documents_ds.map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class LangId:
+    """Stopword-profile language classifier (actor-friendly: profiles built
+    once in __init__)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            tokens = set(w.lower() for w in _WS_RE.split(t) if w)
+            best_lang, best = "unknown", 0.0
+            for lang, prof in self.profiles.items():
+                if not tokens:
+                    continue
+                score = len(tokens & prof) / len(prof)
+                if score > best:
+                    best_lang, best = lang, score
+            langs.append(best_lang)
+            scores.append(best)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(langs, pa.string()),
+                pa.array(scores, pa.float64()),
+            ],
+            names=["doc_id", "lang_pred", "lang_score"],
+        )
+
+
+def langid(documents_ds):
+    return documents_ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Rolling-hash document fingerprint: min of 8-gram window hashes
+    (winnowing-style), plus a full-content digest."""
+    texts = batch.column("text").to_pylist()
+    fps, digests = [], []
+    for t in texts:
+        data = t.encode()
+        digests.append(hashlib.blake2b(data, digest_size=16).hexdigest())
+        if len(data) < 8:
+            fps.append(hashlib.blake2b(data, digest_size=8).hexdigest())
+            continue
+        h = 0
+        best = None
+        base, mod = 257, (1 << 61) - 1
+        power = pow(base, 7, mod)
+        for i, byte in enumerate(data):
+            h = (h * base + byte) % mod
+            if i >= 8:
+                h = (h - data[i - 8] * power * base) % mod
+            if i >= 7:
+                if best is None or h < best:
+                    best = h
+        fps.append(f"{best:016x}")
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(fps, pa.string()),
+            pa.array(digests, pa.string()),
+        ],
+        names=["doc_id", "fingerprint", "digest"],
+    )
+
+
+def fingerprint(documents_ds):
+    return documents_ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

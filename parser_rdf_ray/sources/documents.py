@@ -1,0 +1,213 @@
+"""Document sources: the interleaved-span table (BASELINE input_hint schema)
+and its deterministic derivation from the driver's flat documents table.
+
+Input table shape (authoritative, BASELINE.json input_hint):
+
+    doc_id: string
+    spans:  list<struct<kind: string, text: string, media_ref: string, offset: int32>>
+
+Rows with kind == 'text' carry RDF payload fragments; concatenating their
+text in offset order reconstitutes the document. kind == 'media' spans carry
+an opaque media_ref and empty text and are passed through, not parsed.
+
+The RDF payload for each driver document row is a pure function of its
+(doc_id, source, lang, n_chars) columns, cycling through the 4 supported
+serializations — so a DuckDB oracle can re-derive the expected triples with
+plain SQL and verify the whole assemble→detect→parse path end-to-end.
+A deterministic slice of N-Triples docs carries an injected syntax error to
+exercise the error-row path (docs where doc_id % 13 == 7 and format is
+n-triples, i.e. doc_id % 4 == 0).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+DOC_NS = "http://ex.org/doc/"
+VOCAB_NS = "http://ex.org/vocab/"
+CLASS_NS = "http://ex.org/Class/"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+FORMATS = ("n-triples", "turtle", "rdf/xml", "json-ld")
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+DOCUMENTS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", SPAN_TYPE)])
+
+
+def doc_format(doc_id: int) -> str:
+    return FORMATS[doc_id % 4]
+
+
+def is_error_doc(doc_id: int) -> bool:
+    return doc_id % 4 == 0 and doc_id % 13 == 7
+
+
+SHAPE_NS = "http://ex.org/shape/"
+SH_NS = "http://www.w3.org/ns/shacl#"
+
+
+def expected_triples(doc_id: int, source: str, lang: str, n_chars: int):
+    """The (subj, pred, obj) triples every payload serializes — the ground
+    truth the DuckDB oracle recomputes in SQL. All formats carry 5 base
+    triples; Turtle docs additionally declare two property entities and a
+    SHACL shape (7 more) so property/shape extraction has real coverage."""
+    doc = DOC_NS + str(doc_id)
+    cls = CLASS_NS + source
+    triples = [
+        (doc, VOCAB_NS + "source", source),
+        (doc, VOCAB_NS + "lang", lang),
+        (doc, VOCAB_NS + "nchars", str(n_chars)),
+        (cls, RDF_NS + "type", RDFS_NS + "Class"),
+        (cls, RDFS_NS + "label", source),
+    ]
+    if doc_format(doc_id) == "turtle":
+        shape = SHAPE_NS + source
+        triples += [
+            (VOCAB_NS + "source", RDF_NS + "type", RDF_NS + "Property"),
+            (VOCAB_NS + "source", RDFS_NS + "label", "source"),
+            (VOCAB_NS + "lang", RDF_NS + "type", RDF_NS + "Property"),
+            (VOCAB_NS + "lang", RDFS_NS + "label", "lang"),
+            (shape, RDF_NS + "type", SH_NS + "NodeShape"),
+            (shape, SH_NS + "targetClass", cls),
+            (shape, SH_NS + "minCount", "1"),
+        ]
+    return triples
+
+
+def rdf_payload(doc_id: int, source: str, lang: str, n_chars: int) -> str:
+    """Serialize the 5 triples in the doc's assigned format."""
+    fmt = doc_format(doc_id)
+    doc = DOC_NS + str(doc_id)
+    cls = CLASS_NS + source
+    if fmt == "n-triples":
+        lines = [
+            f'<{doc}> <{VOCAB_NS}source> "{source}" .',
+            f'<{doc}> <{VOCAB_NS}lang> "{lang}" .',
+            f'<{doc}> <{VOCAB_NS}nchars> "{n_chars}"^^<{XSD_INT}> .',
+            f"<{cls}> <{RDF_NS}type> <{RDFS_NS}Class> .",
+            f'<{cls}> <{RDFS_NS}label> "{source}"@en .',
+        ]
+        if is_error_doc(doc_id):
+            lines.append(f'<{doc}> <{VOCAB_NS}bad> "broken\\q escape" .')
+        return "\n".join(lines)
+    if fmt == "turtle":
+        shape = SHAPE_NS + source
+        return (
+            f"@prefix v: <{VOCAB_NS}> .\n"
+            f"@prefix rdf: <{RDF_NS}> .\n"
+            f"@prefix rdfs: <{RDFS_NS}> .\n"
+            f"@prefix sh: <{SH_NS}> .\n"
+            f'<{doc}> v:source "{source}" ; v:lang "{lang}" ; '
+            f'v:nchars "{n_chars}"^^<{XSD_INT}> .\n'
+            f'<{cls}> a rdfs:Class ; rdfs:label "{source}"@en .\n'
+            f'v:source a rdf:Property ; rdfs:label "source" .\n'
+            f'v:lang a rdf:Property ; rdfs:label "lang" .\n'
+            f"<{shape}> a sh:NodeShape ; sh:targetClass <{cls}> ; "
+            f'sh:minCount "1"^^<{XSD_INT}> .\n'
+        )
+    if fmt == "rdf/xml":
+        return (
+            '<?xml version="1.0"?>\n'
+            f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:rdfs="{RDFS_NS}" xmlns:v="{VOCAB_NS}">\n'
+            f'  <rdf:Description rdf:about="{doc}">\n'
+            f"    <v:source>{source}</v:source>\n"
+            f"    <v:lang>{lang}</v:lang>\n"
+            f'    <v:nchars rdf:datatype="{XSD_INT}">{n_chars}</v:nchars>\n'
+            f"  </rdf:Description>\n"
+            f'  <rdfs:Class rdf:about="{cls}">\n'
+            f'    <rdfs:label xml:lang="en">{source}</rdfs:label>\n'
+            f"  </rdfs:Class>\n"
+            f"</rdf:RDF>"
+        )
+    # json-ld
+    return (
+        "{\n"
+        f'  "@context": {{"v": "{VOCAB_NS}", "rdfs": "{RDFS_NS}"}},\n'
+        '  "@graph": [\n'
+        f'    {{"@id": "{doc}", "v:source": "{source}", "v:lang": "{lang}",\n'
+        f'     "v:nchars": {{"@value": "{n_chars}", "@type": "{XSD_INT}"}}}},\n'
+        f'    {{"@id": "{cls}", "@type": "rdfs:Class",\n'
+        f'     "rdfs:label": {{"@value": "{source}", "@language": "en"}}}}\n'
+        "  ]\n"
+        "}"
+    )
+
+
+def make_spans(doc_id: int, payload: str) -> list[dict]:
+    """Split a payload into 1-4 interleaved text spans + 0-2 media spans,
+    deterministically from doc_id. offset is strictly increasing and the
+    in-order concatenation of text-span texts equals the payload exactly
+    (the per-row span-sequence invariant)."""
+    n_text = 1 + (doc_id % 4)
+    n = len(payload)
+    cuts = sorted({(doc_id * (i + 3) * 2654435761) % n for i in range(n_text - 1)} - {0})
+    pieces = []
+    prev = 0
+    for c in cuts:
+        pieces.append(payload[prev:c])
+        prev = c
+    pieces.append(payload[prev:])
+
+    spans = []
+    offset = 0
+    # media spans lead (count = doc_id % 3, SQL-derivable for the oracle);
+    # text spans follow in payload order
+    for m in range(doc_id % 3):
+        spans.append(
+            {
+                "kind": "media",
+                "text": "",
+                "media_ref": f"media://{doc_id}/{m}",
+                "offset": offset,
+            }
+        )
+        offset += 1
+    for piece in pieces:
+        spans.append({"kind": "text", "text": piece, "media_ref": "", "offset": offset})
+        offset += 1
+    return spans
+
+
+def flat_batch_to_span_docs(batch: pa.Table) -> pa.Table:
+    """Driver flat documents batch → span-structured documents batch.
+    Pure function; used inside map_batches (zero driver-side loops)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    sources = batch.column("source").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    n_chars = batch.column("n_chars").to_pylist()
+    out_ids = []
+    out_spans = []
+    for d, s, lg, nc in zip(doc_ids, sources, langs, n_chars):
+        payload = rdf_payload(d, s, lg, nc)
+        out_ids.append(str(d))
+        out_spans.append(make_spans(d, payload))
+    return pa.Table.from_arrays(
+        [pa.array(out_ids, pa.string()), pa.array(out_spans, SPAN_TYPE)],
+        schema=DOCUMENTS_SCHEMA,
+    )
+
+
+def read_span_documents(sf_dir: str, columns_pushdown: bool = True):
+    """sf_dir's flat documents.parquet → Dataset of span documents.
+
+    Column pruning at the read: only the 4 payload-deriving columns leave
+    storage (the 'text' column — the bulk of the bytes — is never loaded).
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "n_chars"] if columns_pushdown else None,
+    )
+    return ds.map_batches(flat_batch_to_span_docs, batch_format="pyarrow", zero_copy_batch=True)

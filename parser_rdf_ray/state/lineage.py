@@ -1,0 +1,85 @@
+"""Per-stage lineage records + checkpoint-resume (north rule).
+
+Every materialized stage writes partitioned Parquet under
+``<checkpoint_dir>/<stage>/`` plus a ``_lineage.json`` manifest recording
+run_id, input fingerprint, per-file row counts and wall time. A stage whose
+manifest exists with a matching fingerprint is SKIPPED on resume and its
+output re-read — checkpoint-resume of any stage, partition granularity
+(file = partition). Output is never one giant file: Ray Data writes one
+file per block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+MANIFEST = "_lineage.json"
+
+
+def stage_dir(checkpoint_dir: str, stage: str) -> str:
+    return os.path.join(checkpoint_dir, stage)
+
+
+def is_complete(checkpoint_dir: str, stage: str, fingerprint: str) -> bool:
+    path = os.path.join(stage_dir(checkpoint_dir, stage), MANIFEST)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return manifest.get("fingerprint") == fingerprint and manifest.get("complete") is True
+
+
+def checkpoint_stage(ds, checkpoint_dir: str, stage: str, fingerprint: str, run_id: str):
+    """Write a stage's output + lineage manifest; returns a Dataset reading
+    the checkpoint (so downstream stages consume the materialized copy)."""
+    import ray.data
+
+    out = stage_dir(checkpoint_dir, stage)
+    if is_complete(checkpoint_dir, stage, fingerprint):
+        return ray.data.read_parquet(out), True
+
+    os.makedirs(out, exist_ok=True)
+    # clear stale partials from an interrupted run (manifest absent/mismatched)
+    for name in os.listdir(out):
+        if name != MANIFEST:
+            try:
+                os.remove(os.path.join(out, name))
+            except OSError:
+                pass
+    t0 = time.time()
+    ds.write_parquet(out)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    import pyarrow.parquet as pq
+
+    per_file = []
+    total_rows = 0
+    for f in files:
+        md = pq.read_metadata(os.path.join(out, f))
+        per_file.append({"file": f, "rows": md.num_rows, "bytes": md.serialized_size})
+        total_rows += md.num_rows
+    manifest = {
+        "stage": stage,
+        "run_id": run_id,
+        "fingerprint": fingerprint,
+        "complete": True,
+        "wall_time_sec": round(time.time() - t0, 3),
+        "total_rows": total_rows,
+        "partitions": per_file,
+        "written_at": time.time(),
+    }
+    with open(os.path.join(out, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return ray.data.read_parquet(out), False
+
+
+def read_manifest(checkpoint_dir: str, stage: str) -> dict | None:
+    path = os.path.join(stage_dir(checkpoint_dir, stage), MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,259 @@
+"""Ray Data stage + pipeline tests (session-scoped Ray fixture)."""
+
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    from parser_rdf_ray.sources.documents import read_span_documents
+
+    return read_span_documents(SF)
+
+
+class TestAssemble:
+    def test_span_roundtrip(self, ray_session, docs):
+        from parser_rdf_ray.sources.documents import rdf_payload
+        from parser_rdf_ray.stages.assemble import assemble_spans
+
+        asm = docs.map_batches(assemble_spans, batch_format="pyarrow").to_pandas()
+        assert (asm["assembly_error"] == "").all()
+        import pyarrow.parquet as pq
+
+        flat = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+        ).to_pylist()
+        by_id = {str(r["doc_id"]): r for r in flat}
+        for _, row in asm.head(50).iterrows():
+            r = by_id[row["doc_id"]]
+            assert row["rdf_text"] == rdf_payload(
+                r["doc_id"], r["source"], r["lang"], r["n_chars"]
+            )
+
+    def test_invariant_violation_detected(self, ray_session):
+        from parser_rdf_ray.stages.assemble import check_span_invariant
+
+        bad = [
+            {"kind": "text", "text": "a", "media_ref": "", "offset": 2},
+            {"kind": "text", "text": "b", "media_ref": "", "offset": 1},
+        ]
+        assert "not strictly increasing" in check_span_invariant(bad)
+        assert check_span_invariant(
+            [{"kind": "media", "text": "x", "media_ref": "m", "offset": 0}]
+        )
+        assert (
+            check_span_invariant(
+                [{"kind": "text", "text": "a", "media_ref": "", "offset": 0}]
+            )
+            == ""
+        )
+
+
+class TestKgBuild:
+    def test_end_to_end_matches_expected(self, ray_session, docs):
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.documents import expected_triples, is_error_doc
+
+        adjacency, errors = build_kg(docs)
+        at = adjacency.to_pandas()
+        import pyarrow.parquet as pq
+
+        flat = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+        ).to_pylist()
+        expected = set()
+        n_err = 0
+        for r in flat:
+            if is_error_doc(r["doc_id"]):
+                n_err += 1
+                continue
+            for spo in expected_triples(r["doc_id"], r["source"], r["lang"], r["n_chars"]):
+                expected.add(spo)
+        got = set(zip(at.subj, at.pred, at.obj))
+        assert got == expected
+        assert errors.count() == n_err
+        # adjacency is sorted by (subj, pred, obj)
+        key = list(zip(at.subj, at.pred, at.obj))
+        assert key == sorted(key)
+
+    def test_skolemization_and_sameas(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.documents import DOCUMENTS_SCHEMA
+
+        nt = (
+            '_:b1 <http://e/p> "v" .\n'
+            "<http://e/a> <http://www.w3.org/2002/07/owl#sameAs> <http://e/b> .\n"
+            '<http://e/b> <http://e/p> "w" .'
+        )
+        spans = [[{"kind": "text", "text": nt, "media_ref": "", "offset": 0}]]
+        tbl = pa.Table.from_arrays(
+            [pa.array(["d1"], pa.string()), pa.array(spans, DOCUMENTS_SCHEMA.field("spans").type)],
+            schema=DOCUMENTS_SCHEMA,
+        )
+        ds = ray.data.from_arrow(tbl)
+        adj, _ = build_kg(ds, resolve_sameas=True)
+        df = adj.to_pandas()
+        subs = set(df.subj)
+        # bnode skolemized with doc-scoped hash
+        assert any(s.startswith("urn:bnode:") and ":b1" in s for s in subs)
+        # sameAs merged: b's triples renamed to canonical (lexicographic min = a)
+        assert ("http://e/a" in set(df[df.pred == "http://e/p"].subj))
+
+    def test_entity_linking_actor(self, ray_session):
+        import ray
+        import ray.data
+
+        from parser_rdf_ray.stages.link import EntityLinker
+
+        tbl = pa.Table.from_pydict(
+            {
+                "subj": ["http://x/widget", "http://y/other"],
+                "subj_kind": ["iri", "iri"],
+                "pred": ["http://e/p", "http://www.w3.org/2000/01/rdf-schema#label"],
+                "obj": ["v", "The Gadget"],
+                "obj_kind": ["literal", "literal"],
+            }
+        )
+        alias = {"widget": "http://canonical/widget", "the gadget": "http://canonical/gadget"}
+        links = (
+            ray.data.from_arrow(tbl)
+            .map_batches(
+                EntityLinker,
+                fn_constructor_args=(ray.put(alias),),
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+        )
+        got = set(zip(links.mention_uri, links.canonical_uri))
+        assert ("http://x/widget", "http://canonical/widget") in got
+        assert ("http://y/other", "http://canonical/gadget") in got
+
+    def test_checkpoint_resume(self, ray_session, docs, tmp_path):
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.state import lineage
+
+        ckpt = str(tmp_path / "ckpt")
+        adj1, _ = build_kg(docs, checkpoint_dir=ckpt, run_id="r1")
+        n1 = adj1.count()
+        manifest = lineage.read_manifest(ckpt, "triples")
+        assert manifest["complete"] is True
+        assert manifest["total_rows"] > 0
+        assert len(manifest["partitions"]) >= 1
+        # second run resumes from the checkpoint (manifest fingerprint match)
+        adj2, _ = build_kg(docs, checkpoint_dir=ckpt, run_id="r1")
+        assert adj2.count() == n1
+
+
+class TestUnionFind:
+    def test_deterministic_min_root(self):
+        from parser_rdf_ray.stages.link import build_rename_map
+
+        m = build_rename_map([("b", "c"), ("a", "b"), ("x", "y")])
+        assert m["b"] == "a" and m["c"] == "a"
+        assert m["y"] == "x"
+        # same edges, different order → same map
+        m2 = build_rename_map([("x", "y"), ("a", "b"), ("b", "c")])
+        assert m == m2
+
+
+class TestDedupOps:
+    def test_exact_dedup(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import exact_dedup
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": [3, 1, 2, 5], "text": ["same", "same", "diff", "same"]}
+        )
+        out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        assert sorted(out["min(doc_id)"]) == [1, 2]
+
+    def test_minhash_finds_near_dups(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import minhash_lsh_dedup
+
+        base = "the quick brown fox jumps over the lazy dog again and again " * 5
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base + " extra tail words", "completely different content here about other topics entirely now"],
+            }
+        )
+        pairs = minhash_lsh_dedup(ray.data.from_arrow(tbl), threshold=0.5).to_pandas()
+        got = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_simhash_identical_docs(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import simhash_dedup, simhash64
+
+        assert simhash64("hello world") == simhash64("hello world")
+        tbl = pa.Table.from_pydict(
+            {"doc_id": [1, 2], "text": ["alpha beta gamma delta"] * 2}
+        )
+        pairs = simhash_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
+
+
+class TestSimilarity:
+    def test_knn_self_is_top(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import knn_brute_force
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        queries = {r["vec_id"]: r["embedding"] for r in emb.take(2)}
+        out = knn_brute_force(emb, queries, k=5).to_pandas()
+        for qid in queries:
+            rows = out[out.query_id == qid].sort_values("cosine", ascending=False)
+            assert len(rows) == 5
+            assert rows.iloc[0].vec_id == qid  # self-match at cosine 1.0
+            assert rows.iloc[0].cosine == pytest.approx(1.0)
+
+    def test_media_features_stub(self, ray_session, docs):
+        from parser_rdf_ray.pipelines.multimodal import media_features
+
+        feats = media_features(docs).to_pandas()
+        assert (feats.decode_ok).all()
+        assert set(feats.media_kind) <= {"image", "audio"}
+        assert all(len(f) == 16 for f in feats.feature)
+
+
+class TestTextOps:
+    def test_token_count_matches_python(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.text import token_count
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": [1, 2], "text": ["one two  three", "  padded   words here "]}
+        )
+        out = token_count(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_tokens"] == 3
+        assert out.loc[2, "n_tokens"] == 3
+
+    def test_langid(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.text import langid
+
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the cat and the dog sat in the house with the mouse",
+                    "el perro y la casa de los gatos en un lugar con luz",
+                ],
+            }
+        )
+        out = langid(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "lang_pred"] == "en"
+        assert out.loc[2, "lang_pred"] == "es"
