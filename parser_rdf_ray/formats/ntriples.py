@@ -54,6 +54,23 @@ _UNESCAPE_MAP = {
 }
 _UNESCAPE_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|[tbnrf\"\\\\])")
 
+# Fast path: one regex that fully validates + tokenizes a "simple" line —
+# no backslash escapes and no '#' anywhere (the precondition checked before
+# use), absolute-IRI terms, plain/lang/typed literal objects. Anything else
+# falls back to the full validator/tokenizer pair below, so the fast path
+# can only accept lines both paths accept (equivalence pinned by the W3C
+# conformance suite + tests/test_formats.py fuzz check).
+_IRI_BODY = r"[a-zA-Z][a-zA-Z0-9+.\-]*:[^\s>]*"
+_BNODE_BODY = r'[A-Za-z0-9_][^\s<>.;,:"]*'
+_SIMPLE_LINE_RE = re.compile(
+    rf"^(?:<(?P<s_iri>{_IRI_BODY})>|_:(?P<s_bn>{_BNODE_BODY}))[ \t]*"
+    rf"<(?P<pred>{_IRI_BODY})>[ \t]*"
+    rf'(?:<(?P<o_iri>{_IRI_BODY})>|_:(?P<o_bn>{_BNODE_BODY})|'
+    rf'"(?P<o_lit>[^"\\]*)"'
+    rf"(?:@(?P<o_lang>[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)|\^\^<(?P<o_dt>{_IRI_BODY})>)?)"
+    rf"[ \t]*\.[ \t]*$"
+)
+
 
 def can_handle(content: str) -> bool:
     """First-10-raw-lines sniffer (NTriplesHandler.php:22-43).
@@ -353,6 +370,7 @@ def parse(content: str) -> list[Triple]:
     only RdfParser.parse rejects empty content, RdfParser.php:58-61).
     """
     triples: list[Triple] = []
+    fast_match = _SIMPLE_LINE_RE.match
     for idx, raw in enumerate(content.split("\n")):
         line_no = idx + 1
         trimmed = raw.strip()
@@ -360,6 +378,37 @@ def parse(content: str) -> list[Triple]:
             continue
         if len(raw) > MAX_LINE_LENGTH:
             _fail(line_no, "line exceeds maximum length")
+        if "\\" not in trimmed:
+            # '#' needs no precondition: the anchored regex cannot match a
+            # trailing comment (those lines just fall back), and '#' inside
+            # <IRI> or "literal" bodies is legal and matched in place.
+            m = fast_match(trimmed)
+            if m is not None:
+                g = m.group
+                s_iri = g("s_iri")
+                o_iri = g("o_iri")
+                o_lit = g("o_lit")
+                if o_lit is not None:
+                    o_val, o_kind = o_lit, LITERAL
+                    o_lang = g("o_lang") or ""
+                    o_dt = g("o_dt") or ""
+                elif o_iri is not None:
+                    o_val, o_kind, o_lang, o_dt = o_iri, IRI, "", ""
+                else:
+                    o_val, o_kind, o_lang, o_dt = g("o_bn"), BNODE, "", ""
+                triples.append(
+                    Triple(
+                        s_iri if s_iri is not None else g("s_bn"),
+                        IRI if s_iri is not None else BNODE,
+                        g("pred"),
+                        o_val,
+                        o_kind,
+                        o_dt,
+                        o_lang,
+                        line_no,
+                    )
+                )
+                continue
         cleaned = validate_line(trimmed, line_no)
         triples.append(tokenize_line(cleaned, line_no))
     return triples

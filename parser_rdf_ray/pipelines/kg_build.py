@@ -107,8 +107,9 @@ def build_kg(
         triples = link_mod.apply_rename(triples, rename)
 
     if dedup:
-        triples = canon.dedup_triples(triples)
-        triples = canon.drop_key(triples)
+        # one fused shuffle: exact dedup + key-sorted output (W5+W6)
+        adjacency = canon.dedup_triples_sorted(triples)
+        return adjacency, errors
 
     adjacency = triples
     if sort:

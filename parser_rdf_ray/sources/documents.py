@@ -198,16 +198,74 @@ def flat_batch_to_span_docs(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_span_documents(sf_dir: str, columns_pushdown: bool = True):
+# Replica doc_id stride: a multiple of lcm(3, 4, 13) = 156 so every replica
+# keeps the exact per-format / error-injection / media-span mix of the
+# originals, far above any driver doc_id.
+REPLICA_STRIDE = 156_000_000
+
+
+def _default_read_blocks() -> int:
+    """Target block count for the small single-file sandbox inputs: 2 tasks
+    per CPU so the parse stage saturates the pool. Multi-file / Lance-fragment
+    inputs at real scale get their parallelism from the fragment count and
+    should pass parallelism=None → Ray's own sizing."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        pass
+    return 16
+
+
+def replicate_flat_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Bench-scale corpus amplification: k deterministic copies of each flat
+    document row with doc_id shifted by i*REPLICA_STRIDE (payloads differ per
+    replica because span cuts derive from doc_id)."""
+    if k <= 1:
+        return batch
+    import pyarrow.compute as pc
+
+    idx = batch.column_names.index("doc_id")
+    ids = batch.column("doc_id")
+    tables = [batch]
+    for i in range(1, k):
+        tables.append(batch.set_column(idx, "doc_id", pc.add(ids, i * REPLICA_STRIDE)))
+    return pa.concat_tables(tables)
+
+
+def read_span_documents(
+    sf_dir: str,
+    columns_pushdown: bool = True,
+    replicate: int = 1,
+    parallelism: int | None = 0,
+):
     """sf_dir's flat documents.parquet → Dataset of span documents.
 
     Column pruning at the read: only the 4 payload-deriving columns leave
     storage (the 'text' column — the bulk of the bytes — is never loaded).
+
+    parallelism: output block count for the read. The sandbox input is ONE
+    small parquet file (= one block = one parse task by default), so the
+    default (0) resolves to 2×CPUs; pass None to keep Ray's own sizing for
+    genuinely multi-fragment inputs.
     """
     import ray.data
 
+    if parallelism == 0:
+        parallelism = _default_read_blocks()
+    kwargs = {} if parallelism is None else {"override_num_blocks": parallelism}
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "lang", "n_chars"] if columns_pushdown else None,
+        **kwargs,
     )
+    if replicate > 1:
+        ds = ds.map_batches(
+            replicate_flat_batch,
+            fn_kwargs={"k": replicate},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return ds.map_batches(flat_batch_to_span_docs, batch_format="pyarrow", zero_copy_batch=True)

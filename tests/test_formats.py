@@ -198,3 +198,59 @@ class TestJsonLd:
     def test_invalid_json(self):
         with pytest.raises(ParseError):
             jsonld.parse('{"@context": broken')
+
+
+class TestNTriplesFastSlowEquivalence:
+    """The single-regex fast path must accept exactly what the full
+    validator+tokenizer pair accepts (or fall back). Grid-fuzz both paths
+    over subjects × objects × spacing × suffix variants and compare."""
+
+    def test_grid_equivalence(self):
+        from parser_rdf_ray.formats.ntriples import (
+            parse,
+            tokenize_line,
+            validate_line,
+        )
+        from parser_rdf_ray.model import ParseError
+
+        subjects = ["<http://e/s>", "<http://e/s#frag>", "_:b0", "_:8x", "<rel>", "_:has:colon"]
+        objects = [
+            "<http://e/o>",
+            "<http://e/o#f>",
+            "_:b1",
+            '"plain"',
+            '""',
+            '"with # hash"',
+            '"semi;colon, comma"',
+            '"tab\\there"',
+            '"l"@en',
+            '"l"@en-US',
+            '"l"@2bad',
+            '"5"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            '"bad\\qescape"',
+            '"""triple"""',
+            "<http://e/o",
+        ]
+        spacings = [" ", "  ", "\t", ""]
+        suffixes = [" .", ".", " . # trailing comment", " ; extra"]
+
+        def slow(line: str):
+            return tokenize_line(validate_line(line, 1), 1)
+
+        n_checked = 0
+        for s in subjects:
+            for o in objects:
+                for sp in spacings:
+                    for suf in suffixes:
+                        line = f"{s}{sp}<http://e/p>{sp}{o}{suf}"
+                        try:
+                            fast_res = parse(line)
+                        except ParseError:
+                            fast_res = "ERR"
+                        try:
+                            slow_res = [slow(line)]
+                        except ParseError:
+                            slow_res = "ERR"
+                        assert fast_res == slow_res, f"divergence on {line!r}"
+                        n_checked += 1
+        assert n_checked == len(subjects) * len(objects) * len(spacings) * len(suffixes)
