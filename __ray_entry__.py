@@ -195,6 +195,30 @@ def _q_dedup_simhash(sf_dir: str):
     )
 
 
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from parser_rdf_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_flat_docs(sf_dir), threshold=0.5, n=2)
+
+
+def _q_kg_formats(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.kg_build import documents_to_raw_triples
+
+    raw = documents_to_raw_triples(_docs(sf_dir))
+    fmts = raw.groupby("doc_id").min("format")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("doc_id"), pa.int64()), b.column("min(format)")],
+            names=["doc_id", "format"],
+        )
+
+    return fmts.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_text_tokens(sf_dir: str):
     from parser_rdf_ray.pipelines.text import token_count
 
@@ -239,6 +263,31 @@ def _q_knn_cosine(sf_dir: str):
     for r in emb.map_batches(keep_queries, batch_format="pyarrow").take_all():
         queries[r["vec_id"]] = r["embedding"]
     topk = knn_brute_force(emb, queries, k=10)
+    return topk.select_columns(["query_id", "vec_id"])
+
+
+def _q_text_bpe(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import bpe_token_count_batch
+
+    return _flat_docs(sf_dir).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_knn_ivf(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.similarity import knn_ivf
+
+    emb = _embeddings(sf_dir)
+
+    def keep_queries(b):
+        return b.filter(pc.less(b.column("vec_id"), 5)).select(["vec_id", "embedding"])
+
+    queries = {}
+    for r in emb.map_batches(keep_queries, batch_format="pyarrow").take_all():
+        queries[r["vec_id"]] = r["embedding"]
+    topk = knn_ivf(emb, queries, k=10)
     return topk.select_columns(["query_id", "vec_id"])
 
 
@@ -338,14 +387,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_properties": _q_kg_properties,
         "kg_shapes": _q_kg_shapes,
         "kg_prefixes": _q_kg_prefixes,
+        "kg_formats": _q_kg_formats,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_bpe": _q_text_bpe,
         "knn_cosine": _q_knn_cosine,
+        "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
         "rel_lineitem_agg": _q_rel_lineitem_agg,
@@ -400,7 +453,48 @@ def oracle_sql() -> dict[str, str]:
         "SELECT prefix, namespace, COUNT(*) AS n_docs FROM pfx GROUP BY prefix, namespace"
     )
 
+    sql["kg_formats"] = (
+        "SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'n-triples' WHEN 1 THEN 'turtle' "
+        "WHEN 2 THEN 'rdf/xml' ELSE 'json-ld' END AS format FROM documents"
+    )
+
     sql["dedup_exact"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    # exact word-bigram Jaccard (same token/gram semantics as
+    # parser_rdf_ray/pipelines/dedup.py:_word_ngram_hashes)
+    sql["dedup_ngram_jaccard"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+  FROM documents
+),
+gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS gl
+  FROM toks
+),
+grams AS (SELECT DISTINCT doc_id, unnest(gl) AS g FROM gram_lists),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = co.doc_a
+JOIN sizes sb ON sb.doc_id = co.doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+    sql["text_bpe"] = (
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"
+    )
 
     sql["text_tokens"] = (
         "SELECT doc_id, "

@@ -37,6 +37,11 @@ REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
 def _init_ray(num_cpus: int):
     import ray
 
+    # One rayon thread per Ray worker: polars otherwise spawns a
+    # cores-wide pool in EVERY worker (32 workers x 32 threads), and the
+    # oversubscription thrash costs ~40% at num_cpus=32 (measured on the
+    # dedup shuffle). Parallelism comes from Ray tasks, not intra-op threads.
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -86,8 +86,47 @@ class _Tok(object):
 
 
 def _tokenize(content: str) -> list[_Tok]:
+    # finditer iterates matches at C speed; the contiguity check (a gap
+    # between consecutive matches = an unmatchable character) preserves the
+    # per-position error semantics of an explicit match loop.
     toks: list[_Tok] = []
+    append = toks.append
     pos = 0
+    for m in _TOKEN_RE.finditer(content):
+        start = m.start()
+        if start != pos:
+            line_no = content.count("\n", 0, pos) + 1
+            raise ParseError(
+                f"Turtle parsing failed: unexpected character {content[pos]!r} on line {line_no}",
+                line_no,
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        value = m.group(kind)
+        if kind in ("prefixed", "bnode") and value.endswith("."):
+            # PN_LOCAL must not end with '.' — the dot terminates the triple.
+            # pos moves backwards, which finditer can't replay: hand the rest
+            # of the input to the explicit match-at-position loop.
+            stripped = value.rstrip(".")
+            pos -= len(value) - len(stripped)
+            append(_Tok(kind, stripped))
+            return _tokenize_slow(content, toks, pos)
+        append(_Tok(kind, value))
+    if pos != len(content):
+        line_no = content.count("\n", 0, pos) + 1
+        raise ParseError(
+            f"Turtle parsing failed: unexpected character {content[pos]!r} on line {line_no}",
+            line_no,
+        )
+    append(_Tok("eof", ""))
+    return toks
+
+
+def _tokenize_slow(content: str, toks: list[_Tok], pos: int) -> list[_Tok]:
+    """Explicit match-at-position loop, used from the point a token was
+    '.'-stripped (position moved backwards, which finditer can't replay)."""
     n = len(content)
     while pos < n:
         m = _TOKEN_RE.match(content, pos)
@@ -103,7 +142,6 @@ def _tokenize(content: str) -> list[_Tok]:
             continue
         value = m.group(kind)
         if kind in ("prefixed", "bnode") and value.endswith("."):
-            # PN_LOCAL must not end with '.' — the dot terminates the triple
             stripped = value.rstrip(".")
             pos -= len(value) - len(stripped)
             value = stripped

@@ -298,3 +298,137 @@ def simhash_dedup(documents_ds, max_hamming: int = 3):
 
     pairs = pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby("pair").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+#
+# Training-data op with exact set semantics (the verification baseline the
+# approximate sketches — minhash/simhash — are judged against; at corpus
+# scale the LSH pipelines above are the production path, since a globally
+# frequent n-gram makes the inverted-index self-join quadratic in that
+# gram's document frequency).
+
+
+def _word_ngram_hashes(text: str, n: int = 2) -> np.ndarray:
+    """Distinct word n-gram hashes (uint64). Tokens = non-empty pieces of
+    lower(text) split on \\W+ — the exact semantics DuckDB reproduces with
+    string_split_regex(lower(text), '\\W+'), so the SQL oracle can rebuild
+    identical gram sets. Fewer than n tokens → one gram of all tokens."""
+    tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    if len(tokens) < n:
+        grams = {" ".join(tokens)}
+    else:
+        grams = {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+class NgramGramRows:
+    """documents → (gram, doc_id, n_grams, part) inverted-index rows.
+    part = gram % P routes every occurrence of a gram to one partition;
+    n_grams (the doc's gram-set size) rides along so the pair stage can
+    compute Jaccard without a separate sizes join."""
+
+    def __init__(self, n: int = 2, num_partitions: int = 32):
+        self.n = n
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        grams_out: list[np.ndarray] = []
+        ids_out: list[np.ndarray] = []
+        sizes_out: list[np.ndarray] = []
+        for doc_id, text in zip(doc_ids, texts):
+            g = _word_ngram_hashes(text, self.n)
+            if not len(g):
+                continue
+            grams_out.append(g)
+            ids_out.append(np.full(len(g), doc_id, dtype=np.int64))
+            sizes_out.append(np.full(len(g), len(g), dtype=np.int32))
+        if grams_out:
+            grams = np.concatenate(grams_out)
+            ids = np.concatenate(ids_out)
+            sizes = np.concatenate(sizes_out)
+        else:
+            grams = np.empty(0, dtype=np.uint64)
+            ids = np.empty(0, dtype=np.int64)
+            sizes = np.empty(0, dtype=np.int32)
+        part = (grams % np.uint64(self.num_partitions)).astype(np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(grams, pa.uint64()),
+                pa.array(ids, pa.int64()),
+                pa.array(sizes, pa.int32()),
+                pa.array(part, pa.int32()),
+            ],
+            names=["gram", "doc_id", "n_grams", "part"],
+        )
+
+
+def _gram_pairs_in_partition(group: pa.Table) -> pa.Table:
+    """Vectorized per-partition co-occurrence counting: polars self-join on
+    gram → (doc_a, doc_b) partial counts. One call per partition, not per
+    gram."""
+    import polars as pl
+
+    df = pl.from_arrow(group.select(["gram", "doc_id", "n_grams"]))
+    j = df.join(df, on="gram", suffix="_b")
+    j = j.filter(pl.col("doc_id") < pl.col("doc_id_b"))
+    co = (
+        j.group_by(["doc_id", "doc_id_b", "n_grams", "n_grams_b"])
+        .len(name="c")
+        .rename({"doc_id": "doc_a", "doc_id_b": "doc_b", "n_grams": "na", "n_grams_b": "nb"})
+    )
+    t = co.to_arrow()
+    return pa.Table.from_arrays(
+        [
+            t.column("doc_a").cast(pa.int64()),
+            t.column("doc_b").cast(pa.int64()),
+            t.column("na").cast(pa.int32()),
+            t.column("nb").cast(pa.int32()),
+            t.column("c").cast(pa.int64()),
+        ],
+        names=["doc_a", "doc_b", "na", "nb", "c"],
+    )
+
+
+def ngram_jaccard_dedup(documents_ds, threshold: float = 0.5, n: int = 2,
+                        num_partitions: int | None = None):
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard ≥ t).
+
+    Plan: explode distinct word-n-gram hashes (inverted index) →
+    hash-partition by gram → vectorized per-partition self-join (partial
+    pair counts; a pair sharing grams in several partitions is summed by
+    the small groupby that follows) → jaccard = c / (na + nb - c), filter.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from parser_rdf_ray.tuning import shuffle_parallelism, tune_data_context
+
+    tune_data_context()
+    p = num_partitions or shuffle_parallelism()
+    grams = documents_ds.map_batches(
+        NgramGramRows(n, p), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    pairs = grams.groupby("part").map_groups(_gram_pairs_in_partition, batch_format="pyarrow")
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Sum("c"), Max("na"), Max("nb"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("sum(c)"), pa.float64())
+        na = pc.cast(batch.column("max(na)"), pa.float64())
+        nb = pc.cast(batch.column("max(nb)"), pa.float64())
+        jac = pc.divide(c, pc.subtract(pc.add(na, nb), c))
+        t = pa.Table.from_arrays(
+            [batch.column("doc_a"), batch.column("doc_b"), jac],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+        t = t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+        return t.set_column(2, "jaccard", pc.round(t.column("jaccard"), ndigits=6))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

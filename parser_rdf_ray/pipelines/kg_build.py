@@ -31,13 +31,17 @@ ADJACENCY_COLS = [
 
 def documents_to_raw_triples(documents_ds, format_override: str | None = None):
     """documents(spans) → triples+errors union table (streaming, no shuffle)."""
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
     ds = documents_ds.map_batches(
-        assemble_spans, batch_format="pyarrow", zero_copy_batch=True
+        assemble_spans, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return ds.map_batches(
         ParseToTriples(format_override=format_override),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -51,8 +55,8 @@ def split_errors(raw):
     def keep_err(b):
         return b.filter(pc.not_equal(b.column("error_type"), ""))
 
-    ok = raw.map_batches(keep_ok, batch_format="pyarrow", zero_copy_batch=True)
-    err = raw.map_batches(keep_err, batch_format="pyarrow", zero_copy_batch=True)
+    ok = raw.map_batches(keep_ok, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    err = raw.map_batches(keep_err, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return ok, err
 
 
@@ -77,7 +81,7 @@ def build_kg(
     raw = documents_to_raw_triples(documents_ds)
     triples, errors = split_errors(raw)
     triples = triples.map_batches(
-        canon.canonicalize_batch, batch_format="pyarrow", zero_copy_batch=True
+        canon.canonicalize_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     if checkpoint_dir:

@@ -134,25 +134,28 @@ def dedup_triples_sorted(ds, num_partitions: int | None = None):
     global sort on (subj, pred, obj, ...). Triple-identity hashes are
     near-uniform, so no salting is needed here (unlike entity merge, where
     real-world IRI frequencies are zipfian); P scales with cluster CPUs."""
+    from parser_rdf_ray.tuning import shuffle_parallelism, tune_data_context
+
+    tune_data_context()
     if num_partitions is None:
-        num_partitions = _default_dedup_partitions()
-    ds = ds.map_batches(local_distinct_batch, batch_format="pyarrow", zero_copy_batch=True)
+        num_partitions = shuffle_parallelism()
+    # batch_size=None → whole-block batches: these kernels are fully
+    # vectorized, so per-batch fixed cost (Python call + Arrow slice) is the
+    # only thing batch splitting adds (measured 2.5x on the map side).
+    ds = ds.map_batches(
+        local_distinct_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     ds = ds.map_batches(
         _add_partition_id,
         fn_kwargs={"num_partitions": num_partitions},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
+    # Explicit barrier before the shuffle: an all-to-all materializes its
+    # input anyway, and feeding it from live upstream map tasks makes the
+    # streaming executor thrash at high CPU counts (measured 3-4x slower
+    # chained than with this barrier at num_cpus=32).
+    ds = ds.materialize()
     ds = ds.groupby("part").map_groups(_distinct_in_partition, batch_format="pyarrow")
     return ds.sort(ADJACENCY_IDENTITY_COLS)
-
-
-def _default_dedup_partitions() -> int:
-    try:
-        import ray
-
-        if ray.is_initialized():
-            return max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    except Exception:
-        pass
-    return 16

@@ -257,3 +257,57 @@ class TestTextOps:
         out = langid(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
         assert out.loc[1, "lang_pred"] == "en"
         assert out.loc[2, "lang_pred"] == "es"
+
+
+class TestNgramJaccard:
+    def test_exact_pairs(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import ngram_jaccard_dedup
+
+        # doc1/doc2: heavy bigram overlap; doc3: disjoint
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon eta",
+                    "one two three four five six seven",
+                ],
+            }
+        )
+        out = ngram_jaccard_dedup(ray.data.from_arrow(tbl), threshold=0.3).to_pandas()
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+        assert (1, 3) not in got and (2, 3) not in got
+        # doc1 grams: {ab, bg, gd, de, ez}; doc2: {ab, bg, gd, de, ee'}
+        # shared 4, union 6 -> 4/6
+        assert got[(1, 2)] == pytest.approx(4 / 6, abs=1e-6)
+
+    def test_threshold_filters(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import ngram_jaccard_dedup
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": [1, 2], "text": ["a b c d", "a b x y"]}
+        )
+        # grams: {a b, b c, c d} vs {a b, b x, x y}: shared 1, union 5 -> 0.2
+        out = ngram_jaccard_dedup(ray.data.from_arrow(tbl), threshold=0.5).to_pandas()
+        assert len(out) == 0
+        out = ngram_jaccard_dedup(ray.data.from_arrow(tbl), threshold=0.1).to_pandas()
+        assert len(out) == 1 and out.iloc[0].jaccard == pytest.approx(0.2)
+
+
+class TestKnnIvf:
+    def test_self_retrieved(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import knn_ivf
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        queries = {r["vec_id"]: r["embedding"] for r in emb.take(2)}
+        out = knn_ivf(emb, queries, k=5).to_pandas()
+        for qid in queries:
+            rows = out[out.query_id == qid].sort_values("cosine", ascending=False)
+            assert len(rows) >= 1
+            assert rows.iloc[0].vec_id == qid  # self lands in the probed bucket
