@@ -143,6 +143,11 @@ def main() -> None:
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(n)
             env["GRAFT_SF_DIR"] = SF_DIR
+            # Pin work decomposition to the big leg's sizing so both legs
+            # process identical block sizes / partition counts — a strong-
+            # scaling comparison, not a block-size comparison.
+            env.setdefault("GRAFT_READ_BLOCKS", "64")
+            env.setdefault("GRAFT_SHUFFLE_PARTITIONS", "64")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,

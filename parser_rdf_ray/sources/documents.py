@@ -208,7 +208,17 @@ def _default_read_blocks() -> int:
     """Target block count for the small single-file sandbox inputs: 2 tasks
     per CPU so the parse stage saturates the pool. Multi-file / Lance-fragment
     inputs at real scale get their parallelism from the fragment count and
-    should pass parallelism=None → Ray's own sizing."""
+    should pass parallelism=None → Ray's own sizing.
+
+    GRAFT_READ_BLOCKS pins the count regardless of CPU count — used by the
+    strong-scaling bench so both CPU legs process identical block sizes
+    (otherwise the smaller cluster gets proportionally bigger blocks and the
+    comparison measures block-size effects, not scaling)."""
+    import os
+
+    env = os.environ.get("GRAFT_READ_BLOCKS")
+    if env:
+        return int(env)
     try:
         import ray
 

@@ -18,7 +18,14 @@ from __future__ import annotations
 
 
 def shuffle_parallelism() -> int:
-    """2 partitions per cluster CPU, floor 16."""
+    """2 partitions per cluster CPU, floor 16. GRAFT_SHUFFLE_PARTITIONS pins
+    the count for fair strong-scaling comparisons (see
+    sources/documents.py:_default_read_blocks)."""
+    import os
+
+    env = os.environ.get("GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
     try:
         import ray
 
