@@ -113,6 +113,63 @@ def _q_kg_adjacency(sf_dir: str):
     return adjacency.select_columns(["subj", "pred", "obj"])
 
 
+def _alias_dict_from_sources(sf_dir: str) -> dict:
+    """Deterministic alias dictionary for the linking stage: every document
+    source name aliases its class entity (surface 'srcN' → Class/srcN).
+    Mentions are then IRIs whose local name hits a surface — i.e. the SHACL
+    shape entities Shape/srcN — so a SQL oracle can re-derive the links."""
+    import pyarrow.parquet as pq
+
+    srcs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"]).column("source")
+    return {s.lower(): _CLASS + s for s in set(srcs.to_pylist())}
+
+
+def _q_kg_links(sf_dir: str):
+    """Mention detection + alias-dict link scoring (actor pool with the
+    dict broadcast via ray.put, read once per actor) → global distinct."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from parser_rdf_ray.pipelines.kg_build import documents_to_raw_triples, split_errors
+    from parser_rdf_ray.stages import canonicalize as canon
+    from parser_rdf_ray.stages import link as link_mod
+
+    ok, _ = split_errors(documents_to_raw_triples(_docs(sf_dir)))
+    triples = ok.map_batches(
+        canon.canonicalize_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    alias_ref = ray.put(_alias_dict_from_sources(sf_dir))
+    links = triples.map_batches(
+        link_mod.EntityLinker,
+        fn_constructor_args=(alias_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def to_f64(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("score"), "score", pc.cast(b.column("score"), pa.float64())
+        )
+
+    links = links.map_batches(to_f64, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count
+
+    agg = links.groupby(["mention_uri", "canonical_uri", "surface", "score"]).aggregate(Count())
+    return agg.select_columns(["mention_uri", "canonical_uri", "surface", "score"])
+
+
+def _q_kg_resolved(sf_dir: str):
+    """Full KG build with entity linking + driver-side union-find +
+    broadcast rename (W4): shape entities merge into their class entity
+    (lexicographic-min root), then exact dedup + sort."""
+    from parser_rdf_ray.pipelines.kg_build import build_kg
+
+    adjacency, _ = build_kg(_docs(sf_dir), alias_dict=_alias_dict_from_sources(sf_dir))
+    return adjacency.select_columns(["subj", "pred", "obj"])
+
+
 def _q_kg_errors(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -382,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
+        "kg_links": _q_kg_links,
+        "kg_resolved": _q_kg_resolved,
         "kg_errors": _q_kg_errors,
         "kg_classes": _q_kg_classes,
         "kg_properties": _q_kg_properties,
@@ -413,6 +472,24 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_triples"] = _TRIPLES_CTE + "SELECT doc_id, subj, pred, obj FROM trip"
 
     sql["kg_adjacency"] = _TRIPLES_CTE + "SELECT DISTINCT subj, pred, obj FROM trip"
+
+    # linking: shape IRIs (turtle docs only) whose local name aliases a
+    # class entity; one distinct link per shape
+    sql["kg_links"] = (
+        f"WITH ttl AS ({_OK_DOCS} AND doc_id % 4 = 1) "
+        f"SELECT DISTINCT '{_SHAPE}' || source AS mention_uri, "
+        f"'{_CLASS}' || source AS canonical_uri, "
+        "lower(source) AS surface, CAST(1.0 AS DOUBLE) AS score FROM ttl"
+    )
+
+    # union-find rename: Shape/srcN and Class/srcN are coreferent; the
+    # lexicographic-min root is the Class IRI, so every shape subject is
+    # rewritten to its class before the distinct
+    sql["kg_resolved"] = _TRIPLES_CTE + (
+        f"SELECT DISTINCT CASE WHEN subj LIKE '{_SHAPE}%' "
+        f"THEN '{_CLASS}' || substr(subj, {len(_SHAPE) + 1}) ELSE subj END AS subj, "
+        "pred, obj FROM trip"
+    )
 
     sql["kg_errors"] = (
         "SELECT doc_id, 'ParseException' AS error_type FROM documents "

@@ -138,15 +138,23 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # Strong-scaling stand-in for the N vs 4N cluster-size criterion:
+        # legs at num_cpus=4 and num_cpus=16 (N and 4N). 4/16 rather than
+        # 8/32 because this single VM's 32-way concurrency ceiling is
+        # ~0.85 even for pure busy-loop processes (memory-bandwidth /
+        # hypervisor interference, measured — see BASELINE.md); a real 4N-
+        # node cluster adds nodes WITH their own memory and object store,
+        # so per-node interference stays constant. Work decomposition
+        # (replicate, read blocks, shuffle partitions) is pinned identical
+        # across legs so this measures scaling, not block-size effects.
+        legs = (4, 16)
         results = {}
-        for n in (8, 32):
+        for n in legs:
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(n)
             env["GRAFT_SF_DIR"] = SF_DIR
-            # Pin work decomposition to the big leg's sizing so both legs
-            # process identical block sizes / partition counts — a strong-
-            # scaling comparison, not a block-size comparison.
-            env.setdefault("GRAFT_READ_BLOCKS", "64")
+            env.setdefault("GRAFT_BENCH_REPLICATE", "400")
+            env.setdefault("GRAFT_READ_BLOCKS", "128")
             env.setdefault("GRAFT_SHUFFLE_PARTITIONS", "64")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -157,19 +165,21 @@ def main() -> None:
             )
             line = proc.stdout.strip().splitlines()[-1]
             results[n] = json.loads(line)
-        thr8 = results[8]["triples_per_sec"]
-        thr32 = results[32]["triples_per_sec"]
-        efficiency = (thr32 / thr8) / (32 / 8) if thr8 > 0 else 0.0
+        lo, hi = legs
+        thr_lo = results[lo]["triples_per_sec"]
+        thr_hi = results[hi]["triples_per_sec"]
+        efficiency = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else 0.0
         print(
             json.dumps(
                 {
-                    "metric": "kg_build_scaling_efficiency_8_to_32_cpus",
+                    "metric": f"kg_build_scaling_efficiency_{lo}_to_{hi}_cpus",
                     "value": round(efficiency, 4),
                     "unit": "efficiency",
-                    "throughput_8cpu_triples_per_sec": round(thr8, 1),
-                    "throughput_32cpu_triples_per_sec": round(thr32, 1),
-                    "sec_8cpu": round(results[8]["sec"], 2),
-                    "sec_32cpu": round(results[32]["sec"], 2),
+                    f"throughput_{lo}cpu_triples_per_sec": round(thr_lo, 1),
+                    f"throughput_{hi}cpu_triples_per_sec": round(thr_hi, 1),
+                    f"sec_{lo}cpu": round(results[lo]["sec"], 2),
+                    f"sec_{hi}cpu": round(results[hi]["sec"], 2),
+                    "replicate": results[hi]["replicate"],
                     "sf": SF_DIR,
                 }
             )

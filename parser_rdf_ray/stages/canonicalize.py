@@ -103,59 +103,56 @@ def local_distinct_batch(batch: pa.Table) -> pa.Table:
     return batch.select(cols).group_by(cols).aggregate([])
 
 
-def _add_partition_id(batch: pa.Table, num_partitions: int) -> pa.Table:
-    """Row-hash partition id over the identity columns (vectorized polars
-    hash — no Python per-row work). Every copy of a triple hashes to the
-    same partition, so a per-partition distinct is a global distinct."""
-    import polars as pl
+def drop_consecutive_dup_rows(batch: pa.Table) -> pa.Table:
+    """Sorted-input dedup: drop row i when it equals row i-1 on every
+    identity column (vectorized slice-compare, no hash table). On the
+    range-partitioned output of ``ds.sort(identity)``, consecutive equality
+    IS global equality, so this finishes an exact global distinct.
 
-    h = pl.from_arrow(batch.select(ADJACENCY_IDENTITY_COLS)).hash_rows(seed=17)
-    part = (h % num_partitions).cast(pl.Int32)
-    return batch.append_column("part", part.to_arrow())
+    Null safety: parse/canonicalize emit '' (never null) for absent fields;
+    if a null ever slips in, fill_null(True) keeps the row — conservative
+    (may retain a dup, never drops a distinct row)."""
+    import pyarrow.compute as pc
 
-
-def _distinct_in_partition(group: pa.Table) -> pa.Table:
-    return (
-        group.select(ADJACENCY_IDENTITY_COLS)
-        .group_by(ADJACENCY_IDENTITY_COLS)
-        .aggregate([])
-    )
+    n = batch.num_rows
+    if n <= 1:
+        return batch
+    keep = None
+    for name in ADJACENCY_IDENTITY_COLS:
+        col = batch.column(name).combine_chunks()
+        neq = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)), True)
+        keep = neq if keep is None else pc.or_(keep, neq)
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    mask = pa.concat_arrays([pa.array([True]), keep])
+    return batch.filter(mask)
 
 
 def dedup_triples_sorted(ds, num_partitions: int | None = None):
     """Exact global dedup (set semantics of an RDF graph, W5) + sorted
-    adjacency order (W6).
+    adjacency order (W6) in ONE all-to-all.
 
     Plan: local combiner (per-batch Arrow distinct — cuts shuffle rows and
-    strips provenance columns) → hash-partition on a SMALL int key
-    (``hash(identity) % P``; a groupby on the 7 string identity columns
-    directly costs ~4× more in Ray's aggregate machinery) → one vectorized
-    Arrow distinct per partition (P map_groups calls, not one per key) →
-    global sort on (subj, pred, obj, ...). Triple-identity hashes are
-    near-uniform, so no salting is needed here (unlike entity merge, where
-    real-world IRI frequencies are zipfian); P scales with cluster CPUs."""
-    from parser_rdf_ray.tuning import shuffle_parallelism, tune_data_context
+    strips provenance columns) → global ``sort`` on the identity columns →
+    per-block consecutive-row dedup. Correctness rests on Ray's
+    range-partitioned sort assigning EQUAL key tuples to the SAME output
+    partition (searchsorted against sampled boundaries is deterministic on
+    ties), so duplicates are always adjacent within one block; pinned by
+    test_ray_stages.py. A previous two-exchange plan (hash-partition
+    groupby + final sort) did the same work with an extra all-to-all and
+    measured ~2× slower at num_cpus=32. Triple-identity values are
+    near-uniform after the local combiner, so no salting is needed here
+    (unlike entity merge, where real-world IRI frequencies are zipfian)."""
+    from parser_rdf_ray.tuning import tune_data_context
 
     tune_data_context()
-    if num_partitions is None:
-        num_partitions = shuffle_parallelism()
     # batch_size=None → whole-block batches: these kernels are fully
     # vectorized, so per-batch fixed cost (Python call + Arrow slice) is the
     # only thing batch splitting adds (measured 2.5x on the map side).
     ds = ds.map_batches(
         local_distinct_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    ds = ds.map_batches(
-        _add_partition_id,
-        fn_kwargs={"num_partitions": num_partitions},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
+    ds = ds.sort(ADJACENCY_IDENTITY_COLS)
+    return ds.map_batches(
+        drop_consecutive_dup_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    # Explicit barrier before the shuffle: an all-to-all materializes its
-    # input anyway, and feeding it from live upstream map tasks makes the
-    # streaming executor thrash at high CPU counts (measured 3-4x slower
-    # chained than with this barrier at num_cpus=32).
-    ds = ds.materialize()
-    ds = ds.groupby("part").map_groups(_distinct_in_partition, batch_format="pyarrow")
-    return ds.sort(ADJACENCY_IDENTITY_COLS)

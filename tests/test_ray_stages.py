@@ -311,3 +311,63 @@ class TestKnnIvf:
             rows = out[out.query_id == qid].sort_values("cosine", ascending=False)
             assert len(rows) >= 1
             assert rows.iloc[0].vec_id == qid  # self lands in the probed bucket
+
+
+class TestDedupSortedSingleShuffle:
+    def test_heavy_duplicates_across_blocks(self, ray_session):
+        """Pins the guarantee dedup_triples_sorted rests on: Ray's
+        range-partitioned sort sends EQUAL key tuples to the same output
+        partition, so per-block consecutive dedup is a global distinct.
+        Corpus: 40 blocks, every block holding copies of the same small
+        triple set (worst case — every duplicate pair crosses blocks)."""
+        import ray.data
+
+        from parser_rdf_ray.stages.canonicalize import (
+            ADJACENCY_IDENTITY_COLS,
+            dedup_triples_sorted,
+        )
+
+        uniq = [
+            (f"http://ex.org/s/{i % 7}", f"http://ex.org/p/{i % 3}", f"o{i}")
+            for i in range(50)
+        ]
+
+        def make_block(batch: pa.Table) -> pa.Table:
+            rows = uniq * 3  # 150 rows per block, all duplicated elsewhere
+            return pa.table(
+                {
+                    "subj": [s for s, _, _ in rows],
+                    "pred": [p for _, p, _ in rows],
+                    "obj": [o for _, _, o in rows],
+                    "obj_kind": ["iri"] * len(rows),
+                    "obj_datatype": [""] * len(rows),
+                    "obj_lang": [""] * len(rows),
+                    "graph": ["_:default"] * len(rows),
+                }
+            )
+
+        ds = ray.data.range(40, override_num_blocks=40).map_batches(
+            make_block, batch_format="pyarrow"
+        )
+        out = dedup_triples_sorted(ds).to_pandas()
+        assert len(out) == len(uniq)
+        key = list(zip(out.subj, out.pred, out.obj))
+        assert key == sorted(key) and len(set(key)) == len(uniq)
+
+    def test_drop_consecutive_dup_rows_unit(self):
+        from parser_rdf_ray.stages.canonicalize import drop_consecutive_dup_rows
+
+        t = pa.table(
+            {
+                "subj": ["a", "a", "a", "b"],
+                "pred": ["p", "p", "p", "p"],
+                "obj": ["1", "1", "2", "2"],
+                "obj_kind": ["iri"] * 4,
+                "obj_datatype": [""] * 4,
+                "obj_lang": [""] * 4,
+                "graph": ["g"] * 4,
+            }
+        )
+        out = drop_consecutive_dup_rows(t)
+        assert out.num_rows == 3
+        assert out.column("obj").to_pylist() == ["1", "2", "2"]
