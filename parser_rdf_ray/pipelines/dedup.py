@@ -106,43 +106,34 @@ class MinHashBands:
         )
 
 
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one (band, bucket) group, capped to bound
-    pathological buckets (cap logged via the oversized flag column)."""
-    ids = sorted(group.column("doc_id").to_pylist())
-    a, b = [], []
-    cap = 50  # quadratic guard for degenerate buckets
-    ids = ids[:cap]
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    """Candidate pairs within one (band, bucket) run, capped to bound
+    pathological buckets (quadratic guard for degenerate buckets)."""
+    ids = np.sort(group.column("doc_id").to_numpy())[:50]
+    ii, jj = np.triu_indices(len(ids), k=1)
     return pa.Table.from_arrays(
-        [pa.array(a, pa.int64()), pa.array(b, pa.int64())], names=["doc_a", "doc_b"]
+        [pa.array(ids[ii], pa.int64()), pa.array(ids[jj], pa.int64())],
+        names=["doc_a", "doc_b"],
     )
 
 
 def minhash_candidate_pairs(documents_ds):
-    """documents → deduped candidate pairs (doc_a < doc_b)."""
+    """documents → deduped candidate pairs (doc_a < doc_b).
+
+    Two exchanges total, no per-group Python dispatch: one sorted-run scan
+    emits pairs per multi-doc bucket (singleton buckets — the vast
+    majority — never reach Python), one sorted-run scan distincts pairs
+    that multiple bands both surfaced (stages/groups.py)."""
+    from parser_rdf_ray.stages.groups import grouped_run_map, sorted_distinct
+
     bands = documents_ds.map_batches(
         MinHashBands(), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bands.groupby(["band_id", "bucket"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
-
-    def pair_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch.column("doc_a"), pa.string()),
-            pc.cast(batch.column("doc_b"), pa.string()),
-            "|",
-        )
-        return batch.append_column("pair", key)
-
-    pairs = pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-    return pairs.groupby("pair").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    pairs = grouped_run_map(bands, ["band_id", "bucket"], _bucket_pairs, schema=_PAIR_SCHEMA)
+    return sorted_distinct(pairs, ["doc_a", "doc_b"])
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -261,43 +252,38 @@ class SimHashBands:
         )
 
 
+_HAM_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
+)
+
+
 def simhash_dedup(documents_ds, max_hamming: int = 3):
-    """Near-dup pairs by simhash banding + Hamming verify."""
+    """Near-dup pairs by simhash banding + Hamming verify. Same
+    sorted-run plan as minhash_candidate_pairs (stages/groups.py)."""
+    from parser_rdf_ray.stages.groups import grouped_run_map, sorted_distinct
 
     def band_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())
-        )[:50]
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if ham <= max_hamming and rows[i][0] != rows[j][0]:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
+        order = np.argsort(group.column("doc_id").to_numpy())[:50]
+        ids = group.column("doc_id").to_numpy()[order]
+        hashes = group.column("simhash").to_numpy()[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        xor = hashes[ii] ^ hashes[jj]
+        ham = np.array([bin(int(x)).count("1") for x in xor], dtype=np.int32)
+        keep = (ham <= max_hamming) & (ids[ii] != ids[jj])
         return pa.Table.from_arrays(
-            [pa.array(a, pa.int64()), pa.array(b, pa.int64()), pa.array(d, pa.int32())],
+            [
+                pa.array(ids[ii][keep], pa.int64()),
+                pa.array(ids[jj][keep], pa.int64()),
+                pa.array(ham[keep], pa.int32()),
+            ],
             names=["doc_a", "doc_b", "hamming"],
         )
 
     bands = documents_ds.map_batches(
         SimHashBands(), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bands.groupby(["band_id", "band16"]).map_groups(
-        band_pairs, batch_format="pyarrow"
-    )
-
-    def pair_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch.column("doc_a"), pa.string()),
-            pc.cast(batch.column("doc_b"), pa.string()),
-            "|",
-        )
-        return batch.append_column("pair", key)
-
-    pairs = pairs.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-    return pairs.groupby("pair").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = grouped_run_map(bands, ["band_id", "band16"], band_pairs, schema=_HAM_SCHEMA)
+    return sorted_distinct(pairs, ["doc_a", "doc_b"])
 
 
 # --- exact n-gram Jaccard ---------------------------------------------------

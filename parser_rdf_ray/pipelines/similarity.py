@@ -139,7 +139,10 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.95, dim: int = 64):
             names=["vec_a", "vec_b", "cosine"],
         )
 
-    return bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pyarrow")
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())])
+    return grouped_run_map(bucketed, ["bucket"], in_bucket_pairs, schema=schema)
 
 
 def embedding_near_dup_exact(embeddings_ds, threshold: float = 0.4):

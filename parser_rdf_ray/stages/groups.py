@@ -1,0 +1,78 @@
+"""Vectorized replacements for high-cardinality groupby().map_groups().
+
+Ray's ``groupby(k).map_groups(fn)`` invokes ``fn`` once per group from
+Python. For LSH-style tables (band buckets, pair keys) the group count is
+O(rows) and almost every group is a singleton, so the per-group-call plan
+spends its whole budget on call dispatch (measured: ~5s for 160k
+single-row groups at sf0.1). Both helpers here replace that with ONE
+range-partitioned sort — Ray's sort assigns equal key tuples to the same
+output partition (same guarantee stages/canonicalize.py rests on) — plus a
+vectorized boundary scan per block; Python touches only the runs that
+matter.
+
+Used by pipelines/dedup.py (MinHash + SimHash banding) and
+pipelines/similarity.py (embedding LSH buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def run_spans(batch: pa.Table, key_cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in a batch sorted by key_cols."""
+    n = batch.num_rows
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for c in key_cols:
+        col = batch.column(c).combine_chunks()
+        neq = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)), True)
+        new_run[1:] |= neq.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], n)
+    return starts, ends
+
+
+def grouped_run_map(ds, key_cols: list[str], run_fn, *, schema: pa.Schema, min_run: int = 2):
+    """``groupby(key_cols).map_groups(run_fn)`` with one sort and no
+    per-singleton Python calls: equal keys are co-partitioned and
+    contiguous after the sort, runs are found by a vectorized neighbor
+    compare, and run_fn sees only runs of ≥ min_run rows (pair emitters
+    ignore singletons, which dominate LSH bucket tables)."""
+    ds = ds.sort(key_cols)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        starts, ends = run_spans(batch, key_cols)
+        lens = ends - starts
+        keep = lens >= min_run
+        outs = [run_fn(batch.slice(s, ln)) for s, ln in zip(starts[keep], lens[keep])]
+        outs = [t for t in outs if t.num_rows]
+        if not outs:
+            return schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def sorted_distinct(ds, cols: list[str]):
+    """Global distinct-on(cols) keeping one arbitrary row per key, in ONE
+    exchange: sort on cols, then take the first row of each run per block
+    (equal keys are always in the same block after a range-partitioned
+    sort). Output is globally key-sorted."""
+    ds = ds.sort(cols)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 1:
+            return batch
+        starts, _ = run_spans(batch, cols)
+        return batch.take(pa.array(starts))
+
+    return ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
