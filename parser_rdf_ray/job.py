@@ -47,67 +47,77 @@ def main(argv: list[str] | None = None) -> None:
         build_kg,
         documents_to_raw_triples,
         split_errors,
-        write_adjacency,
     )
     from parser_rdf_ray.sources.documents import read_span_documents
     from parser_rdf_ray.stages import canonicalize as canon
 
+    from parser_rdf_ray.state import lineage
+
     t0 = time.time()
     docs = read_span_documents(args.input, replicate=args.replicate)
+    phases: dict[str, float] = {}
 
     if args.resolve_sameas:
         # union-find path: build_kg owns linking + rename
         adjacency, errors = build_kg(
             docs, resolve_sameas=True, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id
         )
+        resumed_parse = False
     else:
         # ONE parse pass for both outputs: raw (triples+errors union) is the
         # checkpointed stage, so a resume skips parsing entirely and the
         # errors sink doesn't re-run the parse.
         raw = documents_to_raw_triples(docs)
         if args.checkpoint_dir:
-            from parser_rdf_ray.state import lineage
-
-            raw, _resumed = lineage.checkpoint_stage(
+            raw, resumed_parse = lineage.checkpoint_stage(
                 raw, args.checkpoint_dir, "raw_triples", fingerprint=args.run_id, run_id=args.run_id
             )
         else:
             raw = raw.materialize()
+            resumed_parse = False
         ok, errors = split_errors(raw)
         triples = ok.map_batches(
             canon.canonicalize_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         adjacency = canon.dedup_triples_sorted(triples)
+    phases["parse_sec"] = round(time.time() - t0, 3)
 
-    adj_dir = os.path.join(args.output, "adjacency")
-    err_dir = os.path.join(args.output, "errors")
-    for d in (adj_dir, err_dir):
-        os.makedirs(d, exist_ok=True)
-        for name in os.listdir(d):  # stale files from an interrupted run
-            if name.endswith(".parquet"):
-                os.remove(os.path.join(d, name))
-    write_adjacency(adjacency, adj_dir)
-    t_adj = time.time() - t0
-
-    errors.select_columns(["doc_id", "format", "error_type", "obj", "line_no"]).write_parquet(
-        err_dir
+    # Every output stage goes through checkpoint_stage: partitioned Parquet
+    # (one file per block) + a _lineage.json manifest with per-partition
+    # row/byte counts. A re-run with the same --run-id skips any stage whose
+    # manifest is complete — checkpoint-resume at stage granularity, with
+    # interrupted partials cleared by the checkpointing layer itself.
+    t1 = time.time()
+    adjacency_ds, resumed_adj = lineage.checkpoint_stage(
+        adjacency, args.output, "adjacency", fingerprint=args.run_id, run_id=args.run_id
     )
+    phases["adjacency_sec"] = round(time.time() - t1, 3)
+
+    t2 = time.time()
+    err_proj = errors.select_columns(["doc_id", "format", "error_type", "obj", "line_no"])
+    _, resumed_err = lineage.checkpoint_stage(
+        err_proj, args.output, "errors", fingerprint=args.run_id, run_id=args.run_id
+    )
+    phases["errors_sec"] = round(time.time() - t2, 3)
     wall = time.time() - t0
 
-    import pyarrow.parquet as pq
-
-    n_triples = sum(
-        pq.read_metadata(os.path.join(adj_dir, f)).num_rows
-        for f in os.listdir(adj_dir)
-        if f.endswith(".parquet")
-    )
+    adj_manifest = lineage.read_manifest(args.output, "adjacency") or {}
+    err_manifest = lineage.read_manifest(args.output, "errors") or {}
+    n_triples = adj_manifest.get("total_rows", 0)
     metrics = {
         "run_id": args.run_id,
         "input": args.input,
         "replicate": args.replicate,
         "triples_out": n_triples,
+        "errors_out": err_manifest.get("total_rows", 0),
+        "partitions": len(adj_manifest.get("partitions", [])),
+        "resumed_stages": {
+            "raw_triples": resumed_parse,
+            "adjacency": resumed_adj,
+            "errors": resumed_err,
+        },
         "wall_sec": round(wall, 3),
-        "adjacency_sec": round(t_adj, 3),
+        **phases,
         "triples_per_sec": round(n_triples / wall, 1) if wall > 0 else 0.0,
         "num_cpus": int(ray.cluster_resources().get("CPU", 0)),
     }
