@@ -254,3 +254,43 @@ class TestNTriplesFastSlowEquivalence:
                         assert fast_res == slow_res, f"divergence on {line!r}"
                         n_checked += 1
         assert n_checked == len(subjects) * len(objects) * len(spacings) * len(suffixes)
+
+
+class TestRdfParserExtension:
+    """Extension surface (§2.6; RdfParser.php:103-106, 214-217;
+    tests/Unit/RdfParserTest.php:235-305)."""
+
+    def test_register_handler_checked_before_defaults(self):
+        from parser_rdf_ray.formats.detect import FormatPlugin
+        from parser_rdf_ray.model import Triple
+        from parser_rdf_ray.parser import RdfParser
+
+        def parse_custom(content):
+            t = Triple(
+                subj="http://ex.org/custom", subj_kind="iri",
+                pred="http://ex.org/p", obj="1", obj_kind="literal",
+                obj_datatype="", obj_lang="", line_no=1,
+            )
+            return [t], None
+
+        p = RdfParser()
+        # sniff matches JSON-LD-looking content too: custom must win (prepended)
+        p.register_handler(FormatPlugin("custom", lambda c: c.startswith("{"), parse_custom))
+        assert p.get_supported_formats()[0] == "custom"
+        result = p.parse('{"@context": {}}')
+        assert result["format"] == "custom"
+        assert result["triples"][0].subj == "http://ex.org/custom"
+        # a fresh parser is unaffected (no global registry mutation)
+        assert RdfParser().get_supported_formats()[0] != "custom"
+
+    def test_extract_restrictions_hook_overridable(self):
+        from parser_rdf_ray.parser import RdfParser
+
+        class OwlishParser(RdfParser):
+            def extract_restrictions(self, parsed):
+                return {"n_triples": len(parsed["triples"])}
+
+        base = RdfParser().parse('<http://a> <http://b> "c" .')
+        assert base["restrictions"] == {}
+        sub = OwlishParser().parse('<http://a> <http://b> "c" .')
+        assert sub["restrictions"] == {"n_triples": 1}
