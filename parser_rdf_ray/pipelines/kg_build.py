@@ -121,8 +121,17 @@ def build_kg(
     return adjacency, errors
 
 
-def write_adjacency(adjacency_ds, out_dir: str):
-    """Sorted adjacency materialization (W6/S7) — partitioned Parquet, one
-    file per block (resumable output layout; Lance shim: swap write_parquet
-    for write_lance when the lance package is available)."""
+def write_adjacency(adjacency_ds, out_dir: str, fmt: str = "auto"):
+    """Sorted adjacency materialization (W6/S7) — Lance when the package is
+    available (the north-rule sink format), else partitioned Parquet with
+    one file per block (resumable output layout either way)."""
+    if fmt in ("auto", "lance"):
+        try:
+            import lance  # noqa: F401
+
+            adjacency_ds.write_lance(out_dir)
+            return
+        except ImportError:
+            if fmt == "lance":
+                raise
     adjacency_ds.write_parquet(out_dir)

@@ -261,6 +261,8 @@ def read_span_documents(
     default (0) resolves to 2×CPUs; pass None to keep Ray's own sizing for
     genuinely multi-fragment inputs.
     """
+    import os
+
     import ray.data
 
     if parallelism == 0:
@@ -268,8 +270,27 @@ def read_span_documents(
     if replicate > 1:
         return _replicated_span_documents(sf_dir, replicate)
     kwargs = {} if parallelism is None else {"override_num_blocks": parallelism}
+
+    # Lance-first (the north-rule input format): a documents.lance dataset
+    # of already-span-shaped rows is read directly — fragment-parallel,
+    # column-projected. Falls back to Parquet in environments without the
+    # lance package (this sandbox).
+    lance_dir = f"{sf_dir}/documents.lance"
+    if os.path.isdir(lance_dir):
+        try:
+            return ray.data.read_lance(lance_dir, columns=["doc_id", "spans"])
+        except ImportError:
+            pass
+
+    pq_path = f"{sf_dir}/documents.parquet"
+    import pyarrow.parquet as pq
+
+    if "spans" in pq.read_schema(pq_path).names:
+        # table already has the interleaved-span shape — no derivation
+        return ray.data.read_parquet(pq_path, columns=["doc_id", "spans"], **kwargs)
+
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        pq_path,
         columns=["doc_id", "source", "lang", "n_chars"] if columns_pushdown else None,
         **kwargs,
     )

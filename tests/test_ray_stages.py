@@ -371,3 +371,29 @@ class TestDedupSortedSingleShuffle:
         out = drop_consecutive_dup_rows(t)
         assert out.num_rows == 3
         assert out.column("obj").to_pylist() == ["1", "2", "2"]
+
+
+class TestDirectSpanTableRead:
+    def test_span_shaped_parquet_read_directly(self, ray_session, docs, tmp_path):
+        """A table already in the north-rule (doc_id, spans) shape is read
+        without flat-column derivation, and the KG build over it matches
+        the derived-table build exactly."""
+        import pyarrow.parquet as pq
+
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.documents import read_span_documents
+
+        span_dir = tmp_path / "spansf"
+        span_dir.mkdir()
+        # materialize the derived span table as a genuinely span-shaped file
+        tbl = pa.Table.from_pandas(docs.to_pandas())
+        pq.write_table(tbl.select(["doc_id", "spans"]), span_dir / "documents.parquet")
+
+        direct = read_span_documents(str(span_dir))
+        assert sorted(direct.schema().names) == ["doc_id", "spans"]
+        adj_a, err_a = build_kg(direct)
+        adj_b, err_b = build_kg(read_span_documents(SF))
+        a = adj_a.to_pandas()
+        b = adj_b.to_pandas()
+        assert set(zip(a.subj, a.pred, a.obj)) == set(zip(b.subj, b.pred, b.obj))
+        assert err_a.count() == err_b.count()
