@@ -376,6 +376,52 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_media_resize(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.multimodal import media_resize
+
+    rs = media_resize(_docs(sf_dir))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_id"), pa.int64()),
+                b.column("media_ref"),
+                pc.cast(b.column("src_w"), pa.int64()),
+                pc.cast(b.column("src_h"), pa.int64()),
+                pc.cast(b.column("out_w"), pa.int64()),
+                pc.cast(b.column("out_h"), pa.int64()),
+            ],
+            names=["doc_id", "media_ref", "src_w", "src_h", "out_w", "out_h"],
+        )
+
+    return rs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_media_frames(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.multimodal import media_frames
+
+    fr = media_frames(_docs(sf_dir))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_id"), pa.int64()),
+                b.column("media_ref"),
+                pc.cast(b.column("frame_idx"), pa.int64()),
+                pc.cast(b.column("offset_ms"), pa.int64()),
+            ],
+            names=["doc_id", "media_ref", "frame_idx", "offset_ms"],
+        )
+
+    return fr.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_rel_lineitem_agg(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -460,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "rel_lineitem_agg": _q_rel_lineitem_agg,
         "rel_join_topk": _q_rel_join_topk,
         "rel_events_window": _q_rel_events_window,
@@ -614,6 +662,22 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         "SELECT doc_id, 'media://' || doc_id || '/' || i AS media_ref, "
         "CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind, "
         "TRUE AS decode_ok FROM m"
+    )
+
+    sql["media_resize"] = (
+        "WITH m AS (SELECT doc_id, unnest(range(doc_id % 3)) AS i FROM documents) "
+        "SELECT doc_id, 'media://' || doc_id || '/' || i AS media_ref, "
+        "64 + 32 * ((doc_id + i) % 7) AS src_w, "
+        "64 + 32 * ((doc_id * 3 + i) % 5) AS src_h, "
+        "224 AS out_w, 224 AS out_h FROM m WHERE i % 2 = 0"
+    )
+
+    sql["media_frames"] = (
+        "WITH m AS (SELECT doc_id, unnest(range(doc_id % 3)) AS i FROM documents), "
+        "a AS (SELECT doc_id, i FROM m WHERE i % 2 = 1) "
+        "SELECT doc_id, 'media://' || doc_id || '/' || i AS media_ref, "
+        "f AS frame_idx, f * 1000 AS offset_ms "
+        "FROM a, unnest(range(2)) AS t(f)"
     )
 
     sql["rel_lineitem_agg"] = (

@@ -127,3 +127,118 @@ def media_features(documents_ds, batch_size: int = 64, concurrency=(1, 4)):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("src_w", pa.int32()),
+        ("src_h", pa.int32()),
+        ("out_w", pa.int32()),
+        ("out_h", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool image resize stage (image rows only). Codec work is
+    STUBBED like MediaDecoder: resize_real raises NotImplementedError (no
+    image libraries in this build); the deterministic fake derives source
+    dimensions from the ref so the plumbing — small batches, actor
+    signature, typed output schema with a binary payload column — is real
+    and oracle-checkable."""
+
+    def __init__(self, out_w: int = 224, out_h: int = 224, use_stub: bool = True):
+        self.out_w, self.out_h = out_w, out_h
+        self.use_stub = use_stub  # real impl would load the codec here, once
+
+    def resize_real(self, payload: bytes, out_w: int, out_h: int) -> bytes:
+        raise NotImplementedError(
+            "image resize requires codecs not present in this build"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {n: [] for n in RESIZE_SCHEMA.names}
+        for doc_id, ref, kind in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("media_kind").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            # deterministic fake source dims (SQL-derivable): the media
+            # index i is the ref suffix
+            i = int(ref.rsplit("/", 1)[-1]) if ref.rsplit("/", 1)[-1].isdigit() else 0
+            src_w = 64 + 32 * ((int(doc_id) + i) % 7) if doc_id.isdigit() else 64
+            src_h = 64 + 32 * ((int(doc_id) * 3 + i) % 5) if doc_id.isdigit() else 64
+            out["doc_id"].append(doc_id)
+            out["media_ref"].append(ref)
+            out["src_w"].append(src_w)
+            out["src_h"].append(src_h)
+            out["out_w"].append(self.out_w)
+            out["out_h"].append(self.out_h)
+            out["payload"].append(b"")
+        return pa.Table.from_arrays(
+            [pa.array(out[n], RESIZE_SCHEMA.field(n).type) for n in RESIZE_SCHEMA.names],
+            schema=RESIZE_SCHEMA,
+        )
+
+
+FRAMES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("offset_ms", pa.int32()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool temporal sampler (audio/video rows): flat_map of N
+    deterministic sample points per media row — the frame-extraction
+    plumbing (one input row → many frame rows, fixed stride) with the
+    decoder itself stubbed as in MediaDecoder."""
+
+    def __init__(self, n_frames: int = 2, stride_ms: int = 1000):
+        self.n_frames = n_frames
+        self.stride_ms = stride_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {n: [] for n in FRAMES_SCHEMA.names}
+        for doc_id, ref, kind in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("media_kind").to_pylist(),
+        ):
+            if kind not in ("audio", "video"):
+                continue
+            for f in range(self.n_frames):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                out["frame_idx"].append(f)
+                out["offset_ms"].append(f * self.stride_ms)
+        return pa.Table.from_arrays(
+            [pa.array(out[n], FRAMES_SCHEMA.field(n).type) for n in FRAMES_SCHEMA.names],
+            schema=FRAMES_SCHEMA,
+        )
+
+
+def media_resize(documents_ds, batch_size: int = 64, concurrency=(1, 4)):
+    media = documents_ds.map_batches(
+        media_rows_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return media.map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def media_frames(documents_ds, batch_size: int = 64, concurrency=(1, 4)):
+    media = documents_ds.map_batches(
+        media_rows_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return media.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

@@ -397,3 +397,34 @@ class TestDirectSpanTableRead:
         b = adj_b.to_pandas()
         assert set(zip(a.subj, a.pred, a.obj)) == set(zip(b.subj, b.pred, b.obj))
         assert err_a.count() == err_b.count()
+
+
+class TestMediaResizeAndFrames:
+    def test_resize_images_only(self, ray_session, docs):
+        from parser_rdf_ray.pipelines.multimodal import media_resize
+
+        out = media_resize(docs).to_pandas()
+        assert len(out) > 0
+        # every ref is an even media index (image) and dims are deterministic
+        for _, r in out.head(20).iterrows():
+            i = int(r.media_ref.rsplit("/", 1)[-1])
+            d = int(r.doc_id)
+            assert i % 2 == 0
+            assert r.src_w == 64 + 32 * ((d + i) % 7)
+            assert (r.out_w, r.out_h) == (224, 224)
+
+    def test_frame_sampler_flat_map(self, ray_session, docs):
+        from parser_rdf_ray.pipelines.multimodal import media_frames
+
+        out = media_frames(docs).to_pandas()
+        assert len(out) > 0
+        assert set(out.frame_idx) == {0, 1}
+        assert (out.offset_ms == out.frame_idx * 1000).all()
+
+    def test_resize_real_is_stubbed(self):
+        import pytest as _pytest
+
+        from parser_rdf_ray.pipelines.multimodal import MediaResizer
+
+        with _pytest.raises(NotImplementedError):
+            MediaResizer().resize_real(b"", 224, 224)
