@@ -587,6 +587,34 @@ def oracle_sql() -> dict[str, str]:
 
     # exact word-bigram Jaccard (same token/gram semantics as
     # parser_rdf_ray/pipelines/dedup.py:_word_ngram_hashes)
+    # MinHash+LSH near-dup pairs. An exact oracle is valid here because the
+    # signature permutations are seeded constants (pipelines/dedup.py) so
+    # the LSH candidate set is deterministic, and at 32 bands × 4 rows the
+    # detection probability for a jaccard≥0.8 pair is 1-(1-0.8^4)^32
+    # ≈ 1-5e-8 — the pipeline's verified output equals the exact
+    # word-3-gram-jaccard≥0.8 pair set on this corpus (checked at sf0.01).
+    sql["dedup_minhash"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+  FROM documents
+),
+gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [''] END AS gl
+  FROM toks
+),
+gs AS (SELECT doc_id, list_distinct(gl) AS g FROM gram_lists),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) AS j
+  FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM pairs WHERE j >= 0.8
+"""
+
     sql["dedup_ngram_jaccard"] = r"""
 WITH toks AS (
   SELECT doc_id,

@@ -114,13 +114,17 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "kg_triples",
         "kg_classes",
         "kg_prefixes",
+        "kg_links",
+        "kg_resolved",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_simhash",
         "text_quality",
         "text_langid",
         "knn_cosine",
         "embedding_near_dup",
         "media_features",
+        "media_frames",
         "rel_lineitem_agg",
         "rel_join_topk",
         "rel_events_window",
