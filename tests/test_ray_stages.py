@@ -428,3 +428,49 @@ class TestMediaResizeAndFrames:
 
         with _pytest.raises(NotImplementedError):
             MediaResizer().resize_real(b"", 224, 224)
+
+
+class TestGroupsUtil:
+    def test_grouped_run_map_all_singletons(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.stages.groups import grouped_run_map
+
+        schema = pa.schema([("k", pa.int64())])
+        tbl = pa.table({"k": list(range(100)), "v": list(range(100))})
+        calls = []
+
+        def fn(run: pa.Table) -> pa.Table:
+            calls.append(1)
+            return pa.table({"k": run.column("k")})
+
+        out = grouped_run_map(ray.data.from_arrow(tbl), ["k"], fn, schema=schema)
+        assert out.count() == 0  # all runs are singletons -> fn never called
+
+    def test_grouped_run_map_multi_runs(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.stages.groups import grouped_run_map
+
+        schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+        tbl = pa.table({"k": ["a", "b", "a", "b", "a", "c"], "v": [1, 2, 3, 4, 5, 6]})
+
+        def fn(run: pa.Table) -> pa.Table:
+            return pa.table(
+                {"k": [run.column("k")[0].as_py()], "n": [run.num_rows]}
+            ).cast(schema)
+
+        out = grouped_run_map(
+            ray.data.from_arrow(tbl), ["k"], fn, schema=schema
+        ).to_pandas()
+        got = dict(zip(out.k, out.n))
+        assert got == {"a": 3, "b": 2}  # c is a singleton
+
+    def test_sorted_distinct(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.stages.groups import sorted_distinct
+
+        tbl = pa.table({"a": [3, 1, 2, 1, 3, 3], "b": ["x", "y", "z", "y", "x", "x"]})
+        out = sorted_distinct(ray.data.from_arrow(tbl), ["a", "b"]).to_pandas()
+        assert list(zip(out.a, out.b)) == [(1, "y"), (2, "z"), (3, "x")]
