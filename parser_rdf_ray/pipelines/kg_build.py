@@ -90,6 +90,12 @@ def build_kg(
         triples, _resumed = lineage.checkpoint_stage(
             triples, checkpoint_dir, "triples", fingerprint=run_id, run_id=run_id
         )
+    elif alias_dict or resolve_sameas:
+        # Linking consumes the triples stream once (edge collection) and the
+        # rename pass consumes it again — without a checkpoint, pin the
+        # blocks so the parse doesn't execute twice (measured 8.5s → ~5s on
+        # the kg_resolved pipeline at sf0.1).
+        triples = triples.materialize()
 
     edges: list[tuple[str, str]] = []
     if alias_dict:
