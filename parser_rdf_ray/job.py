@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--resolve-sameas", action="store_true")
     args = ap.parse_args(argv)
 
+    # One rayon thread per Ray worker (set BEFORE ray.init so workers
+    # inherit it): polars otherwise spawns a cores-wide pool in every
+    # worker and the oversubscription costs ~40% at num_cpus=32 (measured
+    # on the dedup shuffle; same setting as bench.py).
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
     import ray
 
     if not ray.is_initialized():
