@@ -113,6 +113,31 @@ def _q_kg_adjacency(sf_dir: str):
     return adjacency.select_columns(["subj", "pred", "obj"])
 
 
+def _q_kg_incremental(sf_dir: str):
+    """Incremental maintenance: build the graph from even-doc_id documents,
+    then merge the odd-doc_id delta with incremental_update — the result
+    must equal the full-corpus adjacency (the oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.kg_build import build_kg, incremental_update
+
+    docs = _docs(sf_dir)
+
+    def _parity(keep: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch.column("doc_id"), pa.int64())
+            return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), keep))
+
+        return f
+
+    base_docs = docs.map_batches(_parity(0), batch_format="pyarrow", zero_copy_batch=True)
+    delta_docs = docs.map_batches(_parity(1), batch_format="pyarrow", zero_copy_batch=True)
+    base_adj, _ = build_kg(base_docs)
+    updated = incremental_update(base_adj, delta_docs)
+    return updated.select_columns(["subj", "pred", "obj"])
+
+
 def _alias_dict_from_sources(sf_dir: str) -> dict:
     """Deterministic alias dictionary for the linking stage: every document
     source name aliases its class entity (surface 'srcN' → Class/srcN).
@@ -487,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adjacency": _q_kg_adjacency,
         "kg_links": _q_kg_links,
         "kg_resolved": _q_kg_resolved,
+        "kg_incremental": _q_kg_incremental,
         "kg_errors": _q_kg_errors,
         "kg_classes": _q_kg_classes,
         "kg_properties": _q_kg_properties,
@@ -520,6 +546,9 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_triples"] = _TRIPLES_CTE + "SELECT doc_id, subj, pred, obj FROM trip"
 
     sql["kg_adjacency"] = _TRIPLES_CTE + "SELECT DISTINCT subj, pred, obj FROM trip"
+
+    # incremental update must converge to the full-corpus adjacency
+    sql["kg_incremental"] = _TRIPLES_CTE + "SELECT DISTINCT subj, pred, obj FROM trip"
 
     # linking: shape IRIs (turtle docs only) whose local name aliases a
     # class entity; one distinct link per shape

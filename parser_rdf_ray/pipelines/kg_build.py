@@ -141,3 +141,25 @@ def write_adjacency(adjacency_ds, out_dir: str, fmt: str = "auto"):
             if fmt == "lance":
                 raise
     adjacency_ds.write_parquet(out_dir)
+
+
+def incremental_update(existing_adjacency_ds, new_documents_ds):
+    """Incremental KG maintenance: parse ONLY the delta corpus, project it
+    to the adjacency identity columns, and run one fused dedup+sort over
+    existing ∪ delta. Parsing cost is proportional to the delta, not the
+    graph. At real scale the existing side is already sorted and
+    range-partitioned on disk, so the exchange can be narrowed to a
+    range-bucketed merge of each delta partition with its matching existing
+    key range (partition pruning via the lineage manifest's per-file key
+    bounds); the full re-exchange here is the sandbox-size path — correct
+    at any scale, optimal at small scale."""
+    raw = documents_to_raw_triples(new_documents_ds)
+    ok, _errors = split_errors(raw)
+    delta = ok.map_batches(
+        canon.canonicalize_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    delta = delta.map_batches(
+        canon.local_distinct_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    merged = existing_adjacency_ds.union(delta)
+    return canon.dedup_triples_sorted(merged)

@@ -474,3 +474,31 @@ class TestGroupsUtil:
         tbl = pa.table({"a": [3, 1, 2, 1, 3, 3], "b": ["x", "y", "z", "y", "x", "x"]})
         out = sorted_distinct(ray.data.from_arrow(tbl), ["a", "b"]).to_pandas()
         assert list(zip(out.a, out.b)) == [(1, "y"), (2, "z"), (3, "x")]
+
+
+class TestIncrementalUpdate:
+    def test_delta_merge_equals_full_build(self, ray_session, docs):
+        import pyarrow.compute as pc
+
+        from parser_rdf_ray.pipelines.kg_build import build_kg, incremental_update
+
+        def even(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch.column("doc_id"), pa.int64())
+            return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
+
+        def odd(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch.column("doc_id"), pa.int64())
+            return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), 1))
+
+        base_docs = docs.map_batches(even, batch_format="pyarrow", zero_copy_batch=True)
+        delta_docs = docs.map_batches(odd, batch_format="pyarrow", zero_copy_batch=True)
+
+        base_adj, _ = build_kg(base_docs)
+        updated = incremental_update(base_adj, delta_docs).to_pandas()
+        full, _ = build_kg(docs)
+        f = full.to_pandas()
+        assert set(zip(updated.subj, updated.pred, updated.obj)) == set(
+            zip(f.subj, f.pred, f.obj)
+        )
+        key = list(zip(updated.subj, updated.pred, updated.obj))
+        assert key == sorted(key)
