@@ -138,6 +138,26 @@ def _q_kg_incremental(sf_dir: str):
     return updated.select_columns(["subj", "pred", "obj"])
 
 
+def _q_kg_degree(sf_dir: str):
+    """Graph statistics: top-20 subjects by out-degree over the distinct
+    triple set (head-entity identification — the skew these entities cause
+    is what the salted merge in stages/extract.py handles)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    adjacency, _ = _build_kg_adjacency(sf_dir)
+    counts = adjacency.groupby("subj").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("subj"), pc.cast(b.column("count()"), pa.int64())],
+            names=["subj", "degree"],
+        )
+
+    counts = counts.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return counts.sort(["degree", "subj"], descending=[True, False]).limit(20)
+
+
 def _alias_dict_from_sources(sf_dir: str) -> dict:
     """Deterministic alias dictionary for the linking stage: every document
     source name aliases its class entity (surface 'srcN' → Class/srcN).
@@ -513,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_links": _q_kg_links,
         "kg_resolved": _q_kg_resolved,
         "kg_incremental": _q_kg_incremental,
+        "kg_degree": _q_kg_degree,
         "kg_errors": _q_kg_errors,
         "kg_classes": _q_kg_classes,
         "kg_properties": _q_kg_properties,
@@ -549,6 +570,11 @@ def oracle_sql() -> dict[str, str]:
 
     # incremental update must converge to the full-corpus adjacency
     sql["kg_incremental"] = _TRIPLES_CTE + "SELECT DISTINCT subj, pred, obj FROM trip"
+
+    sql["kg_degree"] = _TRIPLES_CTE + (
+        "SELECT subj, COUNT(*) AS degree FROM (SELECT DISTINCT subj, pred, obj FROM trip) "
+        "GROUP BY subj ORDER BY degree DESC, subj LIMIT 20"
+    )
 
     # linking: shape IRIs (turtle docs only) whose local name aliases a
     # class entity; one distinct link per shape
