@@ -311,6 +311,38 @@ def _merge_class_group(df):
     )
 
 
+_MERGED_CLASS_FIELDS = [
+    ("uri", pa.string()),
+    ("label", pa.string()),
+    ("labels_json", pa.string()),
+    ("description", pa.string()),
+    ("descriptions_json", pa.string()),
+    ("parent_classes", pa.list_(pa.string())),
+    ("types", pa.list_(pa.string())),
+    ("see_also", pa.list_(pa.string())),
+    ("is_defined_by", pa.list_(pa.string())),
+    ("annotations_json", pa.string()),
+    ("n_docs", pa.int64()),
+]
+MERGED_CLASSES_SCHEMA = pa.schema(_MERGED_CLASS_FIELDS)
+PARTIAL_CLASSES_SCHEMA = pa.schema(
+    _MERGED_CLASS_FIELDS + [("doc_id", pa.string()), ("n_docs_partial", pa.int64())]
+)
+
+
+def _run_map_pandas(ds, key_cols, fn, schema):
+    """groupby(key_cols) → per-group pandas merge, executed as ONE
+    range-partitioned sort + per-run calls (stages/groups.py) instead of
+    Ray's map_groups per-group dispatch — same result, one fewer internal
+    exchange, and no per-group pandas-subframe machinery."""
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    def run_fn(run: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(fn(run.to_pandas()), schema=schema, preserve_index=False)
+
+    return grouped_run_map(ds, key_cols, run_fn, schema=schema, min_run=1)
+
+
 def merge_classes_global(ds, salt_buckets: int = 0):
     """Cross-document class canonicalization: groupby(uri) → field-wise merge.
 
@@ -336,16 +368,16 @@ def merge_classes_global(ds, salt_buckets: int = 0):
             return out
 
         ds = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-        ds = ds.groupby(["uri", "salt"]).map_groups(partial, batch_format="pandas")
+        ds = _run_map_pandas(ds, ["uri", "salt"], partial, PARTIAL_CLASSES_SCHEMA)
 
         def final(df):
             out = _merge_class_group(df)
             out["n_docs"] = int(df["n_docs_partial"].sum())
             return out
 
-        return ds.groupby("uri").map_groups(final, batch_format="pandas")
+        return _run_map_pandas(ds, ["uri"], final, MERGED_CLASSES_SCHEMA)
 
-    return ds.groupby("uri").map_groups(_merge_class_group, batch_format="pandas")
+    return _run_map_pandas(ds, ["uri"], _merge_class_group, MERGED_CLASSES_SCHEMA)
 
 
 def merge_properties_global(ds):
@@ -392,7 +424,21 @@ def merge_properties_global(ds):
             ]
         )
 
-    return ds.groupby("uri").map_groups(merge, batch_format="pandas")
+    schema = pa.schema(
+        [
+            ("uri", pa.string()),
+            ("label", pa.string()),
+            ("labels_json", pa.string()),
+            ("property_type", pa.string()),
+            ("domain", pa.list_(pa.string())),
+            ("range", pa.list_(pa.string())),
+            ("parent_properties", pa.list_(pa.string())),
+            ("inverse_of", pa.list_(pa.string())),
+            ("is_functional", pa.bool_()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+    return _run_map_pandas(ds, ["uri"], merge, schema)
 
 
 def merge_shapes_global(ds):
@@ -425,4 +471,14 @@ def merge_shapes_global(ds):
             ]
         )
 
-    return ds.groupby("uri").map_groups(merge, batch_format="pandas")
+    schema = pa.schema(
+        [
+            ("uri", pa.string()),
+            ("label", pa.string()),
+            ("target_class", pa.string()),
+            ("target_property", pa.string()),
+            ("constraints_json", pa.string()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+    return _run_map_pandas(ds, ["uri"], merge, schema)
