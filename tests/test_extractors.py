@@ -326,3 +326,29 @@ class TestParserLevel:
             assert r["classes"]["http://example.org/Person"]["labels"].get("en") == "Person", name
             prop = r["properties"]["http://example.org/name"]
             assert prop["domain"] == ["http://example.org/Person"], name
+
+
+class TestAnonymousOwlExpressions:
+    """E5 (ClassExtractor.php:80-82; ClassExtractorTest.php:250-268):
+    owl:Restriction nodes and nodes carrying OWL set-operation predicates
+    are never emitted as classes, even when also typed as a class."""
+
+    def test_owl_restriction_skipped(self):
+        doc = PRE + (
+            "<http://ex.org/R> a owl:Restriction, owl:Class ; "
+            "owl:onProperty <http://ex.org/p> .\n"
+            '<http://ex.org/C> a owl:Class ; rdfs:label "C" .\n'
+        )
+        result = parse_document(doc)
+        assert "http://ex.org/C" in result["classes"]
+        assert "http://ex.org/R" not in result["classes"]
+
+    def test_union_expression_node_skipped(self):
+        doc = PRE + (
+            "<http://ex.org/U> a owl:Class ; "
+            "owl:unionOf ( <http://ex.org/A> <http://ex.org/B> ) .\n"
+            "<http://ex.org/A> a owl:Class .\n"
+        )
+        result = parse_document(doc)
+        assert "http://ex.org/A" in result["classes"]
+        assert "http://ex.org/U" not in result["classes"]
