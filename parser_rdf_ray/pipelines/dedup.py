@@ -280,25 +280,66 @@ def simhash64(text: str) -> int:
 
 class SimHashBands:
     """documents → (band_id, band16, doc_id, simhash) rows; 4×16-bit bands
-    guarantee a bucket collision for Hamming distance ≤ 3."""
+    guarantee a bucket collision for Hamming distance ≤ 3.
+
+    Whole-batch vectorization (same plan as MinHashBands): one xxhash over
+    the batch's flattened token list, a (tokens × 64) ±1 bit matrix summed
+    per doc with add.reduceat in slabs, sign-packed back into uint64."""
+
+    _SLAB_TOKENS = 65_536  # (64 × slab) int8 bit matrix = 4MB
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        import polars as pl
+
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         texts = batch.column("text").to_pylist()
-        out = {"band_id": [], "band16": [], "doc_id": [], "simhash": []}
-        for doc_id, text in zip(doc_ids, texts):
-            h = simhash64(text)
-            for b in range(4):
-                out["band_id"].append(b)
-                out["band16"].append((h >> (16 * b)) & 0xFFFF)
-                out["doc_id"].append(doc_id)
-                out["simhash"].append(h)
+        n = len(texts)
+        all_tokens: list[str] = []
+        counts = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [x for x in _TOKEN_RE.split(t.lower()) if x]
+            all_tokens.extend(toks)
+            counts[i] = len(toks)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if all_tokens:
+            hashed = pl.Series(all_tokens).hash(seed=11).to_numpy().astype(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            doc_lo = 0
+            while doc_lo < n:
+                doc_hi = doc_lo
+                while (
+                    doc_hi < n and offsets[doc_hi + 1] - offsets[doc_lo] <= self._SLAB_TOKENS
+                ):
+                    doc_hi += 1
+                doc_hi = max(doc_hi, doc_lo + 1)
+                lo, hi = offsets[doc_lo], offsets[doc_hi]
+                if hi > lo:
+                    bits = ((hashed[lo:hi].reshape(-1, 1) >> shifts) & 1).astype(np.int8)
+                    # clip: reduceat rejects index == len (zero-token doc at
+                    # the slab tail); clipped rows are garbage, zeroed below
+                    idx = np.minimum(offsets[doc_lo:doc_hi] - lo, hi - lo - 1)
+                    sums = np.add.reduceat(bits, idx, axis=0)
+                    # handle empty docs inside the slab: reduceat on equal
+                    # offsets copies the next row — zero them below via counts
+                    acc[doc_lo:doc_hi] = 2 * sums - counts[doc_lo:doc_hi, None]
+                doc_lo = doc_hi
+            acc[counts == 0] = 0
+
+        sim = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        band16 = np.empty(n * 4, dtype=np.int32)
+        for b in range(4):
+            band16[b::4] = ((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.Table.from_arrays(
             [
-                pa.array(out["band_id"], pa.int32()),
-                pa.array(out["band16"], pa.int32()),
-                pa.array(out["doc_id"], pa.int64()),
-                pa.array(out["simhash"], pa.uint64()),
+                pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                pa.array(band16, pa.int32()),
+                pa.array(np.repeat(doc_ids, 4), pa.int64()),
+                pa.array(np.repeat(sim, 4), pa.uint64()),
             ],
             names=["band_id", "band16", "doc_id", "simhash"],
         )

@@ -77,16 +77,22 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         pc.cast(alpha_chars, pa.float64()),
         pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
     )
-    # stopword ratio needs set membership per token — flatten once
+    # stopword ratio: flatten the token lists once, lower + set-membership
+    # as Arrow kernels, then one reduceat back to per-doc counts
+    import numpy as np
+
     flat = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
-    stop_counts = []
-    en = _LANG_PROFILES["en"]
-    for toks in flat.to_pylist():
-        toks = toks or []
-        stop_counts.append(sum(1 for t in toks if t.lower() in en))
-    stop_ratio = [
-        s / max(n, 1) for s, n in zip(stop_counts, n_tokens.to_pylist())
-    ]
+    counts = np.asarray(pc.list_value_length(flat).fill_null(0), dtype=np.int64)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    is_stop = np.asarray(
+        pc.is_in(pc.utf8_lower(flat.flatten()), value_set=pa.array(_LANG_PROFILES["en"])),
+        dtype=np.int64,
+    )
+    cum = np.zeros(len(is_stop) + 1, dtype=np.int64)
+    np.cumsum(is_stop, out=cum[1:])
+    stop_counts = cum[offsets[1:]] - cum[offsets[:-1]]
+    stop_ratio = stop_counts / np.maximum(np.asarray(n_tokens, dtype=np.int64), 1)
     mean_tok = pc.divide(
         pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
         pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
@@ -147,29 +153,38 @@ def langid(documents_ds):
     )
 
 
+_FP_POWERS = None
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Rolling-hash document fingerprint: min of 8-gram window hashes
-    (winnowing-style), plus a full-content digest."""
+    """Rolling-hash document fingerprint: min of 8-byte window polynomial
+    hashes (winnowing-style, base 257 mod 2^64 — wrap-around arithmetic so
+    the window hashes vectorize as one sliding-window multiply-add per
+    doc), plus a full-content blake2b digest."""
+    import numpy as np
+
+    global _FP_POWERS
+    if _FP_POWERS is None:
+        base = np.uint64(257)
+        _FP_POWERS = np.empty(8, dtype=np.uint64)
+        _FP_POWERS[7] = 1
+        with np.errstate(over="ignore"):
+            for i in range(6, -1, -1):
+                _FP_POWERS[i] = _FP_POWERS[i + 1] * base
+
     texts = batch.column("text").to_pylist()
     fps, digests = [], []
-    for t in texts:
-        data = t.encode()
-        digests.append(hashlib.blake2b(data, digest_size=16).hexdigest())
-        if len(data) < 8:
-            fps.append(hashlib.blake2b(data, digest_size=8).hexdigest())
-            continue
-        h = 0
-        best = None
-        base, mod = 257, (1 << 61) - 1
-        power = pow(base, 7, mod)
-        for i, byte in enumerate(data):
-            h = (h * base + byte) % mod
-            if i >= 8:
-                h = (h - data[i - 8] * power * base) % mod
-            if i >= 7:
-                if best is None or h < best:
-                    best = h
-        fps.append(f"{best:016x}")
+    with np.errstate(over="ignore"):
+        for t in texts:
+            data = t.encode()
+            digests.append(hashlib.blake2b(data, digest_size=16).hexdigest())
+            if len(data) < 8:
+                fps.append(hashlib.blake2b(data, digest_size=8).hexdigest())
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            windows = np.lib.stride_tricks.sliding_window_view(arr, 8)
+            h = (windows * _FP_POWERS).sum(axis=1)  # mod 2^64 wrap
+            fps.append(f"{int(h.min()):016x}")
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
