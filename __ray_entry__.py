@@ -264,6 +264,18 @@ def _q_kg_shapes(sf_dir: str):
     )
 
 
+def _q_kg_entities(sf_dir: str):
+    """Fused extraction: one parse per document feeds class + property +
+    shape extraction together (the scale path when a pipeline needs more
+    than one entity table), then one groupby for counts + labels."""
+    from parser_rdf_ray.stages.extract import ExtractEntities, merge_entities_global
+
+    ents = _assembled(sf_dir).map_batches(
+        ExtractEntities(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return merge_entities_global(ents)
+
+
 def _q_kg_prefixes(sf_dir: str):
     from parser_rdf_ray.stages.extract import ExtractPrefixes
 
@@ -539,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_properties": _q_kg_properties,
         "kg_shapes": _q_kg_shapes,
         "kg_prefixes": _q_kg_prefixes,
+        "kg_entities": _q_kg_entities,
         "kg_formats": _q_kg_formats,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -617,6 +630,15 @@ def oracle_sql() -> dict[str, str]:
         f"WITH ttl AS ({_OK_DOCS} AND doc_id % 4 = 1) "
         f"SELECT '{_SHAPE}' || source AS uri, '{_CLASS}' || source AS target_class, "
         "COUNT(*) AS n_docs FROM ttl GROUP BY source"
+    )
+
+    sql["kg_entities"] = (
+        f"WITH d AS ({_OK_DOCS}), ttl AS (SELECT * FROM d WHERE doc_id % 4 = 1) "
+        f"SELECT 'class' AS entity_kind, '{_CLASS}' || source AS uri, source AS label, "
+        "COUNT(*) AS n_docs FROM d GROUP BY source "
+        f"UNION ALL SELECT 'property', '{_VOCAB}source', 'source', COUNT(*) FROM ttl "
+        f"UNION ALL SELECT 'property', '{_VOCAB}lang', 'lang', COUNT(*) FROM ttl "
+        f"UNION ALL SELECT 'shape', '{_SHAPE}' || source, NULL, COUNT(*) FROM ttl GROUP BY source"
     )
 
     # per-format declared+auto-detected prefix sets (verified against the

@@ -482,3 +482,71 @@ def merge_shapes_global(ds):
         ]
     )
     return _run_map_pandas(ds, ["uri"], merge, schema)
+
+
+ENTITIES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("entity_kind", pa.string()),  # class | property | shape
+        ("uri", pa.string()),
+        ("label", pa.string()),
+    ]
+)
+
+
+class ExtractEntities(_ExtractBase):
+    """Fused extraction: ONE parse per document feeding class, property
+    and shape extraction together — the scale path when a pipeline needs
+    more than one entity table (the per-kind stages each pay a full parse;
+    this pays it once). Emits the compact union row shape; the per-kind
+    stages remain the source of the full-fidelity columns."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {n: [] for n in ENTITIES_SCHEMA.names}
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("rdf_text").to_pylist()
+        ):
+            parsed = self._parse(text)
+            if parsed is None:
+                continue
+            fmt, g, prefixes, xml_root = parsed
+            if fmt == FORMAT_RDFXML and xml_root is not None:
+                classes = xmlfallback.extract_classes_from_xml(xml_root)
+                props = xmlfallback.extract_properties_from_xml(xml_root)
+            else:
+                classes = ent.extract_classes(g, prefixes, self.include_skolemized)
+                props = ent.extract_properties(g, prefixes, self.include_skolemized)
+            shapes = ent.extract_shapes(g, prefixes, fmt)
+            for kind, items in (("class", classes), ("property", props), ("shape", shapes)):
+                for it in items:
+                    rows["doc_id"].append(doc_id)
+                    rows["entity_kind"].append(kind)
+                    rows["uri"].append(it["uri"])
+                    rows["label"].append(it.get("label"))
+        return pa.Table.from_arrays(
+            [pa.array(rows[n], ENTITIES_SCHEMA.field(n).type) for n in ENTITIES_SCHEMA.names],
+            schema=ENTITIES_SCHEMA,
+        )
+
+
+def merge_entities_global(ds):
+    """(entity_kind, uri) → n_docs + en-preferred first label (labels are
+    already best-match per doc; min() keeps determinism)."""
+    from ray.data.aggregate import Count, Min
+
+    agg = ds.groupby(["entity_kind", "uri"]).aggregate(Count(), Min("label"))
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [
+                b.column("entity_kind"),
+                b.column("uri"),
+                b.column("min(label)"),
+                pc.cast(b.column("count()"), pa.int64()),
+            ],
+            names=["entity_kind", "uri", "label", "n_docs"],
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
