@@ -116,6 +116,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "kg_prefixes",
         "kg_links",
         "kg_resolved",
+        "kg_entities",
         "dedup_exact",
         "dedup_minhash",
         "dedup_simhash",
