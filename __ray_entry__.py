@@ -692,6 +692,40 @@ pairs AS (
 SELECT doc_a, doc_b FROM pairs WHERE j >= 0.8
 """
 
+    # language-ID heuristic is pure set arithmetic over constant stopword
+    # profiles → exactly re-derivable in SQL (profiles injected below;
+    # tie-break = profile declaration order, score must beat 0 strictly)
+    from parser_rdf_ray.pipelines.text import _LANG_PROFILES
+
+    _profile_rows = ", ".join(
+        "('{}', {}, [{}])".format(
+            lang, rank, ", ".join(f"'{w}'" for w in sorted(words))
+        )
+        for rank, (lang, words) in enumerate(_LANG_PROFILES.items())
+    )
+    sql["text_langid"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+profiles(lang, rank, words) AS (VALUES {_profile_rows}),
+scores AS (
+  SELECT doc_id, lang, rank,
+         len(list_intersect(t, words)) * 1.0 / len(words) AS score
+  FROM toks CROSS JOIN profiles
+),
+best AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, rank) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS lang_pred,
+       CASE WHEN score > 0 THEN score ELSE 0.0 END AS lang_score
+FROM best WHERE rn = 1
+"""
+
     sql["dedup_ngram_jaccard"] = r"""
 WITH toks AS (
   SELECT doc_id,
