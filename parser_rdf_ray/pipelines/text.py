@@ -148,8 +148,11 @@ class LangId:
 
 
 def langid(documents_ds):
+    # instance (task pool), not class (actor pool): the stopword profiles
+    # are a few hundred bytes, so shipping them per task is free while an
+    # autoscaling actor pool pays seconds of cold-start per pipeline
     return documents_ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        LangId(), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
