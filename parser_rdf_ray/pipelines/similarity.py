@@ -26,17 +26,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Actor-pool stage: query matrix loaded once per actor."""
+    """Broadcast-scoring stage. Lazy dereference: the instance ships to
+    each task holding only the ObjectRef; the first batch in a worker does
+    one ZERO-COPY plasma read of the query matrix. Task pool rather than
+    actor pool — numpy plasma gets are mmap-zero-copy, so per-task state
+    costs nothing while an autoscaling actor pool pays seconds of
+    cold-start per pipeline."""
 
     def __init__(self, query_ref, k: int):
+        self._query_ref = query_ref
+        self.k = k
+        self.query_ids = None
+        self.query_mat = None
+
+    def _ensure(self):
+        if self.query_ids is not None:
+            return
         import ray
 
-        queries = query_ref if isinstance(query_ref, dict) else ray.get(query_ref)
+        q = self._query_ref
+        queries = q if isinstance(q, dict) else ray.get(q)
         self.query_ids = np.array(list(queries.keys()), dtype=np.int64)
         self.query_mat = _normalize(np.array(list(queries.values()), dtype=np.float64))
-        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
         vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         if emb.size == 0:
@@ -71,11 +85,9 @@ def knn_brute_force(embeddings_ds, queries: dict[int, list[float]], k: int = 10)
 
     query_ref = ray.put(queries)
     partials = embeddings_ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_args=(query_ref, k),
+        BruteForceScorer(query_ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
     # final reduce: partials are tiny (n_queries × k × n_blocks)
@@ -158,10 +170,16 @@ def embedding_near_dup_exact(embeddings_ds, threshold: float = 0.4):
     ref = ray.put((ids, mat))
 
     class Scorer:
+        """Lazy-deref task stage (see BruteForceScorer): the corpus matrix
+        is one zero-copy plasma read per worker, no actor cold-start."""
+
         def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+            self.ids = None
+            self.mat = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.ids is None:
+                self.ids, self.mat = ray.get(ref)
             vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
             emb = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
             a, b = [], []
@@ -179,7 +197,7 @@ def embedding_near_dup_exact(embeddings_ds, threshold: float = 0.4):
             )
 
     return embeddings_ds.map_batches(
-        Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        Scorer(), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
