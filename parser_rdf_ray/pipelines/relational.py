@@ -99,10 +99,17 @@ def orders_join_topk(sf_dir: str, k: int = 10):
     )
 
     class JoinTopK:
+        """Lazy-deref task stage: the customer dict is fetched once per
+        worker on first use. At a scale where the small side is GBs, flip
+        this back to an actor pool (map_batches(JoinTopK, concurrency=N))
+        so deserialization happens once per actor instead of per worker."""
+
         def __init__(self):
-            self.customers = ray.get(cust_ref)
+            self.customers = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.customers is None:
+                self.customers = ray.get(cust_ref)
             idx = pc.sort_indices(
                 batch,
                 sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
@@ -117,7 +124,7 @@ def orders_join_topk(sf_dir: str, k: int = 10):
             batch = batch.append_column("c_name", pa.array(names, pa.string()))
             return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
 
-    partials = orders.map_batches(JoinTopK, batch_format="pyarrow", concurrency=(1, 4))
+    partials = orders.map_batches(JoinTopK(), batch_format="pyarrow")
     final = partials.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
     return final
 
