@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--replicate", type=int, default=1, help="corpus amplification (bench)")
     ap.add_argument("--resolve-sameas", action="store_true")
+    ap.add_argument(
+        "--num-cpus",
+        type=int,
+        default=None,
+        help="local-mode CPU cap (cluster-size stand-in for scaling runs); "
+        "ignored when RAY_ADDRESS points at a real cluster",
+    )
     args = ap.parse_args(argv)
 
     # One rayon thread per Ray worker (set BEFORE ray.init so workers
@@ -47,7 +54,10 @@ def main(argv: list[str] | None = None) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+        kwargs = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False, **kwargs
+        )
 
     from parser_rdf_ray.pipelines.kg_build import (
         build_kg,
