@@ -100,3 +100,27 @@ def test_turtle_roundtrip(triples):
     doc = "@prefix ex: <http://ex.org/> .\n" + _to_ntriples(triples)
     got, _prefixes = turtle.parse(doc)
     assert {_key(t) for t in got} == _expected(triples)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_parse_document_never_crashes_unexpectedly(content):
+    """Crash-safety: arbitrary input must yield a parse result or one of
+    the documented exceptions (ParseError / FormatDetectionError) — never
+    an arbitrary traceback (RdfParser.php:68-76 wrap semantics)."""
+    from parser_rdf_ray import parse_document
+    from parser_rdf_ray.model import FormatDetectionError, ParseError
+
+    try:
+        result = parse_document(content)
+        assert isinstance(result, dict) and "triples" in result
+    except (ParseError, FormatDetectionError):
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_can_parse_never_raises(content):
+    from parser_rdf_ray.parser import can_parse
+
+    assert can_parse(content) in (True, False)
