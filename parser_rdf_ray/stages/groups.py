@@ -41,6 +41,9 @@ def grouped_run_map(ds, key_cols: list[str], run_fn, *, schema: pa.Schema, min_r
     contiguous after the sort, runs are found by a vectorized neighbor
     compare, and run_fn sees only runs of ≥ min_run rows (pair emitters
     ignore singletons, which dominate LSH bucket tables)."""
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
     ds = ds.sort(key_cols)
 
     def per_block(batch: pa.Table) -> pa.Table:
@@ -65,6 +68,9 @@ def sorted_distinct(ds, cols: list[str]):
     exchange: sort on cols, then take the first row of each run per block
     (equal keys are always in the same block after a range-partitioned
     sort). Output is globally key-sorted."""
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
     ds = ds.sort(cols)
 
     def per_block(batch: pa.Table) -> pa.Table:

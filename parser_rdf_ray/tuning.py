@@ -43,6 +43,10 @@ def tune_data_context() -> None:
 
     ctx = DataContext.get_current()
     ctx.min_parallelism = shuffle_parallelism()
+    # polars beats the arrow in-block sort in every measured config
+    # (capped/uncapped rayon threads alike, quiet-machine A/B on the LSH
+    # band sorts); POLARS_MAX_THREADS=1 (bench.py / job.py) is still worth
+    # another ~10% by avoiding per-worker rayon pools.
     try:
         ctx.use_polars_sort = True
     except Exception:
