@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--replicate", type=int, default=1, help="corpus amplification (bench)")
     ap.add_argument("--resolve-sameas", action="store_true")
     ap.add_argument(
+        "--export-nt",
+        default=None,
+        metavar="DIR",
+        help="additionally export the adjacency as N-Triples text (one .nt per block)",
+    )
+    ap.add_argument(
         "--num-cpus",
         type=int,
         default=None,
@@ -108,6 +114,11 @@ def main(argv: list[str] | None = None) -> None:
         adjacency, args.output, "adjacency", fingerprint=args.run_id, run_id=args.run_id
     )
     phases["adjacency_sec"] = round(time.time() - t1, 3)
+
+    if args.export_nt:
+        from parser_rdf_ray.sources.ntriples_sink import write_ntriples
+
+        write_ntriples(adjacency_ds, args.export_nt)
 
     t2 = time.time()
     err_proj = errors.select_columns(["doc_id", "format", "error_type", "obj", "line_no"])

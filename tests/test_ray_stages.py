@@ -502,3 +502,48 @@ class TestIncrementalUpdate:
         )
         key = list(zip(updated.subj, updated.pred, updated.obj))
         assert key == sorted(key)
+
+
+class TestNTriplesSink:
+    def test_roundtrip_through_nt_export(self, ray_session, docs, tmp_path):
+        """parse(serialize(adjacency)) == adjacency — the sink emits valid
+        N-Triples that our own strict tokenizer re-parses to the same
+        triple set."""
+        import pathlib
+
+        from parser_rdf_ray.formats import ntriples
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.ntriples_sink import write_ntriples
+
+        adjacency, _ = build_kg(docs)
+        out = tmp_path / "nt"
+        write_ntriples(adjacency, str(out))
+        files = sorted(pathlib.Path(out).glob("*.nt"))
+        assert files, "no .nt files written"
+        reparsed = set()
+        for f in files:
+            for t in ntriples.parse(f.read_text()):
+                reparsed.add((t.subj, t.pred, t.obj, t.obj_kind, t.obj_datatype, t.obj_lang))
+        a = adjacency.to_pandas()
+        expected = set(
+            zip(a.subj, a.pred, a.obj, a.obj_kind, a.obj_datatype, a.obj_lang)
+        )
+        assert reparsed == expected
+
+    def test_escaping_vectorized(self):
+        from parser_rdf_ray.sources.ntriples_sink import serialize_ntriples_batch
+
+        batch = pa.table(
+            {
+                "subj": ["http://ex.org/s"],
+                "pred": ["http://ex.org/p"],
+                "obj": ['say "hi"\\\n\tdone'],
+                "obj_kind": ["literal"],
+                "obj_datatype": [""],
+                "obj_lang": ["en"],
+            }
+        )
+        line = serialize_ntriples_batch(batch).column("line")[0].as_py()
+        assert line == (
+            '<http://ex.org/s> <http://ex.org/p> "say \\"hi\\"\\\\\\n\\tdone"@en .'
+        )
