@@ -5,10 +5,11 @@
     → exact dedup → sort(subj,pred,obj) → adjacency
 
 Every stage is a map_batches transform over zero-copy Arrow batches; the
-only shuffles are the dedup groupby (uniform hash keys) and the final sort.
-All stages stream — nothing materializes the full dataset except optional
-stage checkpoints (state/lineage.py), and the union-find edge set, which is
-tiny by construction, is the single deliberate driver-side collect.
+only all-to-all is the single fused dedup+sort exchange
+(stages/canonicalize.py). All stages stream — nothing materializes the
+full dataset except optional stage checkpoints (state/lineage.py) or the
+pre-linking block pin, and the union-find edge set, which is tiny by
+construction, is the single deliberate driver-side collect.
 """
 
 from __future__ import annotations

@@ -106,3 +106,102 @@ def write_ntriples(adjacency_ds, out_dir: str) -> None:
         serialize_ntriples_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     lines.write_datasink(NTriplesDatasink(out_dir))
+
+
+# --- Turtle export ----------------------------------------------------------
+
+
+def _compact(col: pa.Array, prefixes: dict[str, str]):
+    """IRI column → prefixed-name column where a namespace matches (longest
+    namespace first), else `<iri>`. Vectorized per namespace: one
+    starts_with mask + one replace per prefix."""
+    term = pc.binary_join_element_wise("<", col, ">", "")
+    done = pa.array([False] * len(col))
+    for prefix, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        mask = pc.starts_with(col, ns)
+        local = pc.utf8_slice_codeunits(col, len(ns))
+        # PN_LOCAL-safe locals only (conservative: word chars, '-', '.')
+        ok = pc.and_(mask, pc.match_substring_regex(local, r"^[\w\-.]*$"))
+        ok = pc.and_(ok, pc.invert(pc.match_substring_regex(local, r"^\.|\.$")))
+        ok = pc.and_(ok, pc.invert(done))  # longest namespace wins
+        qname = pc.binary_join_element_wise(prefix, ":", local, "")
+        term = pc.if_else(ok, qname, term)
+        done = pc.or_(done, ok)
+    return term
+
+
+DEFAULT_EXPORT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "sh": "http://www.w3.org/ns/shacl#",
+}
+
+
+def make_turtle_serializer(prefixes: dict[str, str] | None = None):
+    """Returns a map_batches fn: adjacency rows → 'line' column of Turtle
+    statements with prefix-compacted terms (X1-X6 machinery in reverse).
+    The @prefix header is written once per file by TurtleDatasink."""
+    pfx = dict(DEFAULT_EXPORT_PREFIXES if prefixes is None else prefixes)
+
+    def serialize_turtle_batch(batch: pa.Table) -> pa.Table:
+        subj = _compact(_s(batch, "subj"), pfx)
+        pred = _compact(_s(batch, "pred"), pfx)
+        obj = _s(batch, "obj")
+        obj_kind = _s(batch, "obj_kind")
+        dt = _s(batch, "obj_datatype")
+        lang = _s(batch, "obj_lang")
+
+        lit = _escape_literals(obj)
+        quoted = pc.binary_join_element_wise('"', lit, '"', "")
+        lang_suffix = pc.if_else(
+            pc.not_equal(lang, ""), pc.binary_join_element_wise("@", lang, ""), ""
+        )
+        dt_suffix = pc.if_else(
+            pc.and_(pc.not_equal(dt, ""), pc.equal(lang, "")),
+            pc.binary_join_element_wise("^^", _compact(dt, pfx), ""),
+            "",
+        )
+        literal_term = pc.binary_join_element_wise(quoted, lang_suffix, dt_suffix, "")
+        obj_term = pc.if_else(
+            pc.equal(obj_kind, "literal"), literal_term, _compact(obj, pfx)
+        )
+        # rdf:type → 'a'
+        pred = pc.if_else(pc.equal(pred, "rdf:type"), "a", pred)
+        line = pc.binary_join_element_wise(subj, " ", pred, " ", obj_term, " .", "")
+        return pa.Table.from_arrays([line], names=["line"])
+
+    serialize_turtle_batch.prefixes = pfx
+    return serialize_turtle_batch
+
+
+class TurtleDatasink(BlockBasedFileDatasink):
+    """One .ttl file per block, each self-contained with its @prefix header."""
+
+    def __init__(self, path: str, prefixes: dict[str, str] | None = None, **kwargs):
+        super().__init__(path, file_format="ttl", **kwargs)
+        self._prefixes = dict(DEFAULT_EXPORT_PREFIXES if prefixes is None else prefixes)
+
+    def write_block_to_file(self, block: BlockAccessor, file) -> None:
+        table = block.to_arrow()
+        lines = table.column("line")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        header = "".join(
+            f"@prefix {p}: <{ns}> .\n" for p, ns in sorted(self._prefixes.items())
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array([0, len(lines)], pa.int32()), lines), "\n"
+        )
+        body = (joined[0].as_py() + "\n") if len(lines) else ""
+        file.write((header + body).encode("utf-8"))
+
+
+def write_turtle(adjacency_ds, out_dir: str, prefixes: dict[str, str] | None = None) -> None:
+    """Distributed Turtle export with prefix compaction."""
+    fn = make_turtle_serializer(prefixes)
+    lines = adjacency_ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    lines.write_datasink(TurtleDatasink(out_dir, prefixes))

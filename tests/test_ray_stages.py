@@ -547,3 +547,39 @@ class TestNTriplesSink:
         assert line == (
             '<http://ex.org/s> <http://ex.org/p> "say \\"hi\\"\\\\\\n\\tdone"@en .'
         )
+
+
+class TestTurtleSink:
+    def test_roundtrip_through_ttl_export(self, ray_session, docs, tmp_path):
+        import pathlib
+
+        from parser_rdf_ray.formats import turtle
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.ntriples_sink import write_turtle
+
+        adjacency, _ = build_kg(docs)
+        out = tmp_path / "ttl"
+        write_turtle(adjacency, str(out))
+        files = sorted(pathlib.Path(out).glob("*.ttl"))
+        assert files
+        reparsed = set()
+        for f in files:
+            triples, _pfx = turtle.parse(f.read_text())
+            for t in triples:
+                reparsed.add((t.subj, t.pred, t.obj, t.obj_kind, t.obj_datatype, t.obj_lang))
+        a = adjacency.to_pandas()
+        expected = set(
+            zip(a.subj, a.pred, a.obj, a.obj_kind, a.obj_datatype, a.obj_lang)
+        )
+        assert reparsed == expected
+
+    def test_prefix_compaction_longest_wins(self):
+        from parser_rdf_ray.sources.ntriples_sink import _compact
+
+        prefixes = {"a": "http://ex.org/", "ab": "http://ex.org/sub/"}
+        col = pa.array(
+            ["http://ex.org/x", "http://ex.org/sub/y", "http://other.org/z",
+             "http://ex.org/bad iri"]
+        )
+        out = _compact(col, prefixes).to_pylist()
+        assert out == ["a:x", "ab:y", "<http://other.org/z>", "<http://ex.org/bad iri>"]
