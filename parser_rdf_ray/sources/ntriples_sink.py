@@ -205,3 +205,70 @@ def write_turtle(adjacency_ds, out_dir: str, prefixes: dict[str, str] | None = N
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     lines.write_datasink(TurtleDatasink(out_dir, prefixes))
+
+
+# --- JSON-LD export ---------------------------------------------------------
+
+
+def serialize_jsonld_batch(batch: pa.Table) -> pa.Table:
+    """Adjacency rows → one JSON node-object string per SUBJECT (blocks
+    from dedup_triples_sorted are subject-sorted, so consecutive rows
+    group without a shuffle). Values: {"@id"} for IRIs, {"@value"} with
+    @language/@type for literals; multi-valued predicates become lists.
+    JSON assembly is per-subject Python — nested-document serialization
+    has no Arrow kernel; the grouping itself is the vectorized part."""
+    import json
+
+    subj = _s(batch, "subj").to_pylist()
+    pred = _s(batch, "pred").to_pylist()
+    obj = _s(batch, "obj").to_pylist()
+    kind = _s(batch, "obj_kind").to_pylist()
+    dt = _s(batch, "obj_datatype").to_pylist()
+    lang = _s(batch, "obj_lang").to_pylist()
+
+    lines: list[str] = []
+    node: dict | None = None
+    for s, p, o, k, d, lg in zip(subj, pred, obj, kind, dt, lang):
+        if node is None or node["@id"] != s:
+            if node is not None:
+                lines.append(json.dumps(node, sort_keys=True))
+            node = {"@id": s}
+        if k == "literal":
+            val: object = {"@value": o}
+            if lg:
+                val["@language"] = lg
+            elif d:
+                val["@type"] = d
+        else:
+            val = {"@id": o}
+        cur = node.get(p)
+        if cur is None:
+            node[p] = val
+        elif isinstance(cur, list):
+            cur.append(val)
+        else:
+            node[p] = [cur, val]
+    if node is not None:
+        lines.append(json.dumps(node, sort_keys=True))
+    return pa.Table.from_arrays([pa.array(lines, pa.string())], names=["line"])
+
+
+class JsonLdDatasink(BlockBasedFileDatasink):
+    """One .jsonld file per block: a top-level array of node objects (the
+    shape formats/jsonld.py parses)."""
+
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, file_format="jsonld", **kwargs)
+
+    def write_block_to_file(self, block: BlockAccessor, file) -> None:
+        table = block.to_arrow()
+        lines = [v.as_py() for v in table.column("line")]
+        file.write(("[\n" + ",\n".join(lines) + "\n]\n").encode("utf-8"))
+
+
+def write_jsonld(adjacency_ds, out_dir: str) -> None:
+    """Distributed JSON-LD export (top-level node-object arrays)."""
+    lines = adjacency_ds.map_batches(
+        serialize_jsonld_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    lines.write_datasink(JsonLdDatasink(out_dir))

@@ -583,3 +583,28 @@ class TestTurtleSink:
         )
         out = _compact(col, prefixes).to_pylist()
         assert out == ["a:x", "ab:y", "<http://other.org/z>", "<http://ex.org/bad iri>"]
+
+
+class TestJsonLdSink:
+    def test_roundtrip_through_jsonld_export(self, ray_session, docs, tmp_path):
+        import pathlib
+
+        from parser_rdf_ray.formats import jsonld
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.ntriples_sink import write_jsonld
+
+        adjacency, _ = build_kg(docs)
+        out = tmp_path / "jld"
+        write_jsonld(adjacency, str(out))
+        files = sorted(pathlib.Path(out).glob("*.jsonld"))
+        assert files
+        reparsed = set()
+        for f in files:
+            triples, _extras = jsonld.parse(f.read_text())
+            for t in triples:
+                reparsed.add((t.subj, t.pred, t.obj, t.obj_kind, t.obj_datatype, t.obj_lang))
+        a = adjacency.to_pandas()
+        expected = set(
+            zip(a.subj, a.pred, a.obj, a.obj_kind, a.obj_datatype, a.obj_lang)
+        )
+        assert reparsed == expected
