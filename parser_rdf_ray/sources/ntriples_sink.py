@@ -272,3 +272,71 @@ def write_jsonld(adjacency_ds, out_dir: str) -> None:
         serialize_jsonld_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     lines.write_datasink(JsonLdDatasink(out_dir))
+
+
+# --- RDF/XML export ---------------------------------------------------------
+
+_NCNAME_RE = None
+
+
+def _split_pred(pred: str) -> tuple[str, str]:
+    """Predicate IRI → (namespace, NCName local). RDF/XML can only express
+    predicates whose local part is a valid element name — a limitation of
+    the format, not the engine; offenders raise with a clear message."""
+    global _NCNAME_RE
+    if _NCNAME_RE is None:
+        import re
+
+        _NCNAME_RE = re.compile(r"^[A-Za-z_][\w\-.]*$")
+    for sep in ("#", "/"):
+        idx = pred.rfind(sep)
+        if idx > 0 and _NCNAME_RE.match(pred[idx + 1 :] or ""):
+            return pred[: idx + 1], pred[idx + 1 :]
+    raise ValueError(f"predicate {pred!r} has no NCName local part (RDF/XML limit)")
+
+
+class RdfXmlDatasink(BlockBasedFileDatasink):
+    """One .rdf file per block: rdf:Description per subject, property
+    elements with rdf:resource / rdf:datatype / xml:lang (the scope
+    formats/rdfxml.py parses). Consumes adjacency blocks directly."""
+
+    _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, file_format="rdf", **kwargs)
+
+    def write_block_to_file(self, block: BlockAccessor, file) -> None:
+        import xml.etree.ElementTree as ET
+
+        t = block.to_arrow()
+        cols = {
+            n: (_s(t, n).to_pylist() if n in t.column_names else None)
+            for n in ("subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang")
+        }
+        root = ET.Element(f"{{{self._RDF}}}RDF")
+        nodes: dict[str, ET.Element] = {}
+        for s, p, o, k, d, lg in zip(
+            cols["subj"], cols["pred"], cols["obj"], cols["obj_kind"],
+            cols["obj_datatype"], cols["obj_lang"],
+        ):
+            desc = nodes.get(s)
+            if desc is None:
+                desc = ET.SubElement(root, f"{{{self._RDF}}}Description")
+                desc.set(f"{{{self._RDF}}}about", s)
+                nodes[s] = desc
+            ns, local = _split_pred(p)
+            prop = ET.SubElement(desc, f"{{{ns}}}{local}")
+            if k == "literal":
+                prop.text = o
+                if lg:
+                    prop.set("{http://www.w3.org/XML/1998/namespace}lang", lg)
+                elif d:
+                    prop.set(f"{{{self._RDF}}}datatype", d)
+            else:
+                prop.set(f"{{{self._RDF}}}resource", o)
+        file.write(ET.tostring(root, encoding="utf-8", xml_declaration=True))
+
+
+def write_rdfxml(adjacency_ds, out_dir: str) -> None:
+    """Distributed RDF/XML export."""
+    adjacency_ds.write_datasink(RdfXmlDatasink(out_dir))

@@ -608,3 +608,28 @@ class TestJsonLdSink:
             zip(a.subj, a.pred, a.obj, a.obj_kind, a.obj_datatype, a.obj_lang)
         )
         assert reparsed == expected
+
+
+class TestRdfXmlSink:
+    def test_roundtrip_through_rdfxml_export(self, ray_session, docs, tmp_path):
+        import pathlib
+
+        from parser_rdf_ray.formats import rdfxml
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.ntriples_sink import write_rdfxml
+
+        adjacency, _ = build_kg(docs)
+        out = tmp_path / "rdf"
+        write_rdfxml(adjacency, str(out))
+        files = sorted(pathlib.Path(out).glob("*.rdf"))
+        assert files
+        reparsed = set()
+        for f in files:
+            triples, _extras = rdfxml.parse(f.read_text())
+            for t in triples:
+                reparsed.add((t.subj, t.pred, t.obj, t.obj_kind, t.obj_datatype, t.obj_lang))
+        a = adjacency.to_pandas()
+        expected = set(
+            zip(a.subj, a.pred, a.obj, a.obj_kind, a.obj_datatype, a.obj_lang)
+        )
+        assert reparsed == expected
