@@ -158,6 +158,15 @@ def _q_kg_degree(sf_dir: str):
     return counts.sort(["degree", "subj"], descending=[True, False]).limit(20)
 
 
+def _q_kg_paths2(sf_dir: str):
+    """2-hop path counts per predicate pair — distributed hash self-join
+    of the IRI edge set (Ray Data join, co-partitioned shuffle)."""
+    from parser_rdf_ray.pipelines.kg_build import two_hop_path_counts
+
+    adjacency, _ = _build_kg_adjacency(sf_dir)
+    return two_hop_path_counts(adjacency)
+
+
 def _alias_dict_from_sources(sf_dir: str) -> dict:
     """Deterministic alias dictionary for the linking stage: every document
     source name aliases its class entity (surface 'srcN' → Class/srcN).
@@ -546,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_resolved": _q_kg_resolved,
         "kg_incremental": _q_kg_incremental,
         "kg_degree": _q_kg_degree,
+        "kg_paths2": _q_kg_paths2,
         "kg_errors": _q_kg_errors,
         "kg_classes": _q_kg_classes,
         "kg_properties": _q_kg_properties,
@@ -583,6 +593,15 @@ def oracle_sql() -> dict[str, str]:
 
     # incremental update must converge to the full-corpus adjacency
     sql["kg_incremental"] = _TRIPLES_CTE + "SELECT DISTINCT subj, pred, obj FROM trip"
+
+    # IRI-ness in SQL: on this corpus literal objects never start with
+    # 'http://' (source names, lang codes, digit strings, labels), so the
+    # edge filter matches the Ray side's obj_kind == 'iri'
+    sql["kg_paths2"] = _TRIPLES_CTE + (
+        ", e AS (SELECT DISTINCT subj, pred, obj FROM trip WHERE obj LIKE 'http://%') "
+        "SELECT a.pred AS pred_a, b.pred AS pred_b, COUNT(*) AS n_paths "
+        "FROM e a JOIN e b ON a.obj = b.subj GROUP BY 1, 2"
+    )
 
     sql["kg_degree"] = _TRIPLES_CTE + (
         "SELECT subj, COUNT(*) AS degree FROM (SELECT DISTINCT subj, pred, obj FROM trip) "

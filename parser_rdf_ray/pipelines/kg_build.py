@@ -164,3 +164,52 @@ def incremental_update(existing_adjacency_ds, new_documents_ds):
     )
     merged = existing_adjacency_ds.union(delta)
     return canon.dedup_triples_sorted(merged)
+
+
+def two_hop_path_counts(adjacency_ds, num_partitions: int | None = None):
+    """Graph traversal primitive: count 2-hop paths per (pred_a, pred_b)
+    via a distributed hash self-join of the IRI edge set on
+    edge1.obj == edge2.subj (Ray Data hash join — both sides large, so
+    this is a genuine co-partitioned shuffle join, not a broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.tuning import shuffle_parallelism
+
+    def iri_edges_left(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("obj_kind"), "iri"))
+        return pa.Table.from_arrays(
+            [b.column("pred"), b.column("obj")], names=["pred_a", "mid"]
+        )
+
+    def iri_edges_right(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("obj_kind"), "iri"))
+        return pa.Table.from_arrays(
+            [b.column("subj"), b.column("pred")], names=["mid", "pred_b"]
+        )
+
+    left = adjacency_ds.map_batches(
+        iri_edges_left, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    right = adjacency_ds.map_batches(
+        iri_edges_right, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    joined = left.join(
+        right,
+        "inner",
+        num_partitions=num_partitions or shuffle_parallelism(),
+        on=("mid",),
+    )
+    counts = joined.groupby(["pred_a", "pred_b"]).count()
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("pred_a"),
+                b.column("pred_b"),
+                pc.cast(b.column("count()"), pa.int64()),
+            ],
+            names=["pred_a", "pred_b", "n_paths"],
+        )
+
+    return counts.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
