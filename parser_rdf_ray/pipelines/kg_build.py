@@ -190,10 +190,20 @@ def two_hop_path_counts(adjacency_ds, num_partitions: int | None = None):
 
     left = adjacency_ds.map_batches(
         iri_edges_left, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    ).materialize()
     right = adjacency_ds.map_batches(
         iri_edges_right, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    ).materialize()
+    if left.count() == 0 or right.count() == 0:
+        # Ray's hash join can't resolve key schemas over zero matching
+        # blocks; an empty edge set trivially has no paths
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [("pred_a", pa.string()), ("pred_b", pa.string()), ("n_paths", pa.int64())]
+            ).empty_table()
+        )
     joined = left.join(
         right,
         "inner",

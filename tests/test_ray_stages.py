@@ -633,3 +633,29 @@ class TestRdfXmlSink:
             zip(a.subj, a.pred, a.obj, a.obj_kind, a.obj_datatype, a.obj_lang)
         )
         assert reparsed == expected
+
+
+class TestTwoHopPaths:
+    def test_counts_match_manual_join(self, ray_session, docs):
+        from parser_rdf_ray.pipelines.kg_build import build_kg, two_hop_path_counts
+
+        adjacency, _ = build_kg(docs)
+        out = two_hop_path_counts(adjacency).to_pandas()
+        a = adjacency.to_pandas()
+        edges = a[a.obj_kind == "iri"][["subj", "pred", "obj"]]
+        manual = (
+            edges.merge(edges, left_on="obj", right_on="subj", suffixes=("_a", "_b"))
+            .groupby(["pred_a", "pred_b"])
+            .size()
+        )
+        got = {(r.pred_a, r.pred_b): r.n_paths for r in out.itertuples()}
+        assert got == dict(manual)
+
+    def test_empty_graph(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import two_hop_path_counts
+        from parser_rdf_ray.stages.parse import TRIPLES_SCHEMA
+
+        empty = ray.data.from_arrow(TRIPLES_SCHEMA.empty_table())
+        assert two_hop_path_counts(empty).count() == 0
