@@ -59,8 +59,33 @@ def checkpoint_stage(ds, checkpoint_dir: str, stage: str, fingerprint: str, run_
     per_file = []
     total_rows = 0
     for f in files:
-        md = pq.read_metadata(os.path.join(out, f))
-        per_file.append({"file": f, "rows": md.num_rows, "bytes": md.serialized_size})
+        path = os.path.join(out, f)
+        md = pq.read_metadata(path)
+        rec = {"file": f, "rows": md.num_rows, "bytes": md.serialized_size}
+        # key bounds from parquet column statistics (first column = leading
+        # sort key for sorted stages): lets an incremental merge prune to
+        # the partitions whose key range overlaps the delta, and documents
+        # the range partitioning for resume tooling
+        try:
+            stats = md.row_group(0).column(0).statistics if md.num_row_groups else None
+            last = (
+                md.row_group(md.num_row_groups - 1).column(0).statistics
+                if md.num_row_groups
+                else None
+            )
+            if stats is not None and last is not None and stats.has_min_max:
+                key_min = stats.min
+                key_max = last.max
+                if isinstance(key_min, bytes):
+                    key_min = key_min.decode("utf-8", "replace")
+                if isinstance(key_max, bytes):
+                    key_max = key_max.decode("utf-8", "replace")
+                rec["key_column"] = md.schema.column(0).name
+                rec["key_min"] = key_min
+                rec["key_max"] = key_max
+        except Exception:
+            pass  # bounds are an optimization hint, never a correctness need
+        per_file.append(rec)
         total_rows += md.num_rows
     manifest = {
         "stage": stage,

@@ -659,3 +659,29 @@ class TestTwoHopPaths:
 
         empty = ray.data.from_arrow(TRIPLES_SCHEMA.empty_table())
         assert two_hop_path_counts(empty).count() == 0
+
+
+class TestLineageKeyBounds:
+    def test_sorted_stage_manifest_records_disjoint_ranges(self, ray_session, docs, tmp_path):
+        """Lineage manifests carry per-partition key bounds; for a sorted
+        stage the ranges are non-overlapping — the property a range-pruned
+        incremental merge relies on."""
+        import json
+
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.state import lineage
+
+        adjacency, _ = build_kg(docs)
+        _, resumed = lineage.checkpoint_stage(
+            adjacency, str(tmp_path), "adjacency", fingerprint="kb1", run_id="kb1"
+        )
+        assert not resumed
+        m = json.load(open(tmp_path / "adjacency" / "_lineage.json"))
+        parts = [p for p in m["partitions"] if p["rows"] > 0]
+        assert parts and all("key_min" in p for p in parts)
+        assert all(p["key_column"] == "subj" for p in parts)
+        ordered = sorted(parts, key=lambda p: p["key_min"])
+        assert all(
+            ordered[i]["key_max"] <= ordered[i + 1]["key_min"]
+            for i in range(len(ordered) - 1)
+        )
