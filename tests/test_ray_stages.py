@@ -685,3 +685,51 @@ class TestLineageKeyBounds:
             ordered[i]["key_max"] <= ordered[i + 1]["key_min"]
             for i in range(len(ordered) - 1)
         )
+
+
+class TestIncrementalMergePruned:
+    def test_pruned_merge_equals_full_build(self, ray_session, docs, tmp_path):
+        import pathlib
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from parser_rdf_ray.pipelines.incremental import incremental_merge_pruned
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.state import lineage
+
+        def parity(keep):
+            def f(batch: pa.Table) -> pa.Table:
+                ids = pc.cast(batch.column("doc_id"), pa.int64())
+                return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), keep))
+
+            return f
+
+        base_docs = docs.map_batches(parity(0), batch_format="pyarrow", zero_copy_batch=True)
+        delta_docs = docs.map_batches(parity(1), batch_format="pyarrow", zero_copy_batch=True)
+
+        base_adj, _ = build_kg(base_docs)
+        lineage.checkpoint_stage(base_adj, str(tmp_path), "adjacency", "base", "base")
+
+        out = tmp_path / "merged"
+        metrics = incremental_merge_pruned(
+            str(tmp_path / "adjacency"), delta_docs, str(out)
+        )
+        assert metrics["partitions_rewritten"] + metrics["partitions_untouched"] == metrics["partitions_total"]
+        assert metrics["delta_rows_routed"] > 0
+
+        merged = pa.concat_tables(
+            pq.read_table(f) for f in sorted(pathlib.Path(out).glob("*.parquet"))
+        )
+        full, _ = build_kg(docs)
+        f = full.to_pandas()
+        got = set(zip(merged.column("subj").to_pylist(), merged.column("pred").to_pylist(), merged.column("obj").to_pylist()))
+        assert got == set(zip(f.subj, f.pred, f.obj))
+        # global sortedness preserved across pass-through + rewritten files
+        key_bounds = []
+        for fpath in sorted(pathlib.Path(out).glob("*.parquet")):
+            t = pq.read_table(fpath, columns=["subj"])
+            if t.num_rows:
+                subs = t.column("subj").to_pylist()
+                assert subs == sorted(subs)
+                key_bounds.append((min(subs), max(subs), fpath.name))
