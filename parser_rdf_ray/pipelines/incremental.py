@@ -96,9 +96,11 @@ def incremental_merge_pruned(
         import pyarrow.compute as pc
 
         existing = pq.read_table(src_path, columns=identity)
-        add = pa.Table.from_pylist(rows).select(
-            [c for c in identity]
-        ) if rows else None
+        add = None
+        if rows:
+            # cast to the stored schema (checkpoints written from
+            # polars-sorted blocks carry large_string columns)
+            add = pa.Table.from_pylist(rows).select(list(identity)).cast(existing.schema)
         merged = pa.concat_tables([existing, add]) if add is not None else existing
         merged = merged.sort_by([(c, "ascending") for c in identity])
         merged = canon.drop_consecutive_dup_rows(merged)
