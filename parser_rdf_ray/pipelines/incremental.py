@@ -93,7 +93,6 @@ def incremental_merge_pruned(
     @ray.remote
     def merge_partition(src_path: str, rows: list[dict], dst_path: str) -> int:
         import pyarrow.parquet as pq
-        import pyarrow.compute as pc
 
         existing = pq.read_table(src_path, columns=identity)
         add = None
