@@ -123,6 +123,9 @@ def incremental_merge_pruned(
         else:
             futures[pid] = merge_partition.remote(src, rows, dst)
     merged_rows = {pid: ray.get(f) for pid, f in futures.items()}
+    rows_out = sum(merged_rows.values()) + sum(
+        p["rows"] for pid, p in enumerate(parts) if pid not in merged_rows
+    )
 
     metrics = {
         "run_id": run_id,
@@ -130,6 +133,7 @@ def incremental_merge_pruned(
         "partitions_rewritten": len(futures),
         "partitions_untouched": untouched,
         "delta_rows_routed": sum(len(v) for v in by_pid.values()),
+        "rows_out": rows_out,
         "merge_sec": round(time.time() - t0, 3),
     }
     with open(os.path.join(out_dir, "_incremental_merge.json"), "w") as f:
