@@ -352,3 +352,55 @@ class TestAnonymousOwlExpressions:
         result = parse_document(doc)
         assert "http://ex.org/A" in result["classes"]
         assert "http://ex.org/U" not in result["classes"]
+
+
+class TestXmlFallbackProperties:
+    """E21 property path (PropertyExtractor.php:273-483) — element-name
+    typing, functional detection, Dublin-Core rdf:type-attribute pattern,
+    and XML range-from-comment."""
+
+    XMLNS = (
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#"'
+    )
+
+    def _props(self, body: str) -> dict:
+        doc = f'<?xml version="1.0"?>\n<rdf:RDF {self.XMLNS}>\n{body}\n</rdf:RDF>'
+        return parse_document(doc, {"format": "rdf/xml"})["properties"]
+
+    def test_element_name_typing_checked_first(self):
+        props = self._props(
+            '<owl:ObjectProperty rdf:about="http://ex.org/knows">'
+            '<rdf:type rdf:resource="http://www.w3.org/2002/07/owl#DatatypeProperty"/>'
+            "</owl:ObjectProperty>"
+        )
+        # element name wins over the rdf:type child
+        assert props["http://ex.org/knows"]["property_type"] == "object"
+
+    def test_functional_from_element_name(self):
+        props = self._props(
+            '<owl:FunctionalProperty rdf:about="http://ex.org/id"/>'
+        )
+        assert props["http://ex.org/id"]["is_functional"] is True
+
+    def test_dublin_core_rdf_type_attribute_pattern(self):
+        props = self._props(
+            '<rdf:Description rdf:about="http://purl.org/dc/terms/title">'
+            '<rdf:type rdf:resource="http://www.w3.org/1999/02/22-rdf-syntax-ns#Property"/>'
+            '<rdfs:label>Title</rdfs:label>'
+            "</rdf:Description>"
+        )
+        assert "http://purl.org/dc/terms/title" in props
+        assert props["http://purl.org/dc/terms/title"]["label"] == "Title"
+
+    def test_xml_range_from_comment(self):
+        props = self._props(
+            '<rdf:Property rdf:about="http://ex.org/age">'
+            "<rdfs:comment>The range of this property is an integer value.</rdfs:comment>"
+            "</rdf:Property>"
+        )
+        assert props["http://ex.org/age"]["range"] == [
+            "http://www.w3.org/2001/XMLSchema#integer"
+        ]
+        assert props["http://ex.org/age"]["metadata"]["source"] == "fallback_rdf_xml"
