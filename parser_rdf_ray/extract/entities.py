@@ -300,9 +300,18 @@ _TURTLE_PREFIX_RE = re.compile(r"@prefix\s+([^:]+):\s*<([^>]+)>", re.I)
 _SPARQL_PREFIX_RE = re.compile(r"PREFIX\s+([^:]+):\s*<([^>]+)>", re.I)
 
 
+_FORMAT_ALIASES = {
+    # PrefixExtractor.php:81-82 match arms accept these short names
+    "ttl": FORMAT_TURTLE,
+    "xml": FORMAT_RDFXML,
+    "jsonld": FORMAT_JSONLD,
+}
+
+
 def _prefixes_from_content(content: str, fmt: str) -> dict[str, str]:
     """Format-dispatched raw-content prefix regexes
-    (PrefixExtractor.php:78-173)."""
+    (PrefixExtractor.php:78-173); accepts the reference's short aliases."""
+    fmt = _FORMAT_ALIASES.get(fmt, fmt)
     out: dict[str, str] = {}
     if fmt == FORMAT_TURTLE:
         for rx in (_TURTLE_PREFIX_RE, _SPARQL_PREFIX_RE):

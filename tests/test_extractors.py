@@ -404,3 +404,55 @@ class TestXmlFallbackProperties:
             "http://www.w3.org/2001/XMLSchema#integer"
         ]
         assert props["http://ex.org/age"]["metadata"]["source"] == "fallback_rdf_xml"
+
+
+class TestShapeScalarsAndAliases:
+    def test_all_five_shape_targets(self):
+        doc = (
+            "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+            "<http://ex.org/S> a sh:NodeShape ;\n"
+            "  sh:targetClass <http://ex.org/C> ;\n"
+            "  sh:targetNode <http://ex.org/n1> ;\n"
+            "  sh:targetSubjectsOf <http://ex.org/p1> ;\n"
+            "  sh:targetObjectsOf <http://ex.org/p2> ;\n"
+            "  sh:path <http://ex.org/p3> .\n"
+        )
+        s = parse_document(doc)["shapes"]["http://ex.org/S"]
+        assert s["target_class"] == "http://ex.org/C"
+        assert s["target_node"] == "http://ex.org/n1"
+        assert s["target_subjects_of"] == "http://ex.org/p1"
+        assert s["target_objects_of"] == "http://ex.org/p2"
+        assert s["target_property"] == "http://ex.org/p3"
+
+    def test_top_level_property_shape(self):
+        doc = (
+            "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+            "<http://ex.org/PS> a sh:PropertyShape ; sh:path <http://ex.org/p> .\n"
+        )
+        assert "http://ex.org/PS" in parse_document(doc)["shapes"]
+
+    def test_constraint_keys_without_sh_prefix(self):
+        doc = (
+            "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+            '<http://ex.org/S> a sh:NodeShape ; sh:minCount "1" ; sh:maxCount "5" ; '
+            'sh:pattern "^x" .\n'
+        )
+        c = parse_document(doc)["shapes"]["http://ex.org/S"]["constraints"]
+        assert c == {"minCount": "1", "maxCount": "5", "pattern": "^x"}
+
+    def test_blank_node_shape_skipped(self):
+        doc = (
+            "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+            "[] a sh:NodeShape ; sh:targetClass <http://ex.org/C> .\n"
+            "<http://ex.org/S2> a sh:NodeShape .\n"
+        )
+        shapes = parse_document(doc)["shapes"]
+        assert list(shapes) == ["http://ex.org/S2"]
+
+    def test_prefix_extraction_format_aliases(self):
+        from parser_rdf_ray.extract.entities import _prefixes_from_content
+
+        ttl = "@prefix foo: <http://foo.org/> ."
+        assert _prefixes_from_content(ttl, "ttl") == _prefixes_from_content(ttl, "turtle")
+        xml = '<rdf:RDF xmlns:bar="http://bar.org/"/>'
+        assert _prefixes_from_content(xml, "xml") == _prefixes_from_content(xml, "rdf/xml")
