@@ -153,23 +153,30 @@ def main() -> None:
         # (replicate, read blocks, shuffle partitions) is pinned identical
         # across legs so this measures scaling, not block-size effects.
         legs = (4, 16)
-        results = {}
-        for n in legs:
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(n)
-            env["GRAFT_SF_DIR"] = SF_DIR
-            env.setdefault("GRAFT_BENCH_REPLICATE", "400")
-            env.setdefault("GRAFT_READ_BLOCKS", "128")
-            env.setdefault("GRAFT_SHUFFLE_PARTITIONS", "64")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[n] = json.loads(line)
+        # two interleaved rounds per leg, best-of each: this shared VM has
+        # co-tenant load spikes that can hit either leg and swing a single
+        # sample by ±25%; best-of-2 per leg keeps the measurement about the
+        # engine, not about which leg caught the noisy minute
+        results: dict[int, dict] = {}
+        for _round in range(2):
+            for n in legs:
+                env = dict(os.environ)
+                env["RAY_GRAFT_CPUS"] = str(n)
+                env["GRAFT_SF_DIR"] = SF_DIR
+                env.setdefault("GRAFT_BENCH_REPLICATE", "400")
+                env.setdefault("GRAFT_READ_BLOCKS", "128")
+                env.setdefault("GRAFT_SHUFFLE_PARTITIONS", "64")
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                r = json.loads(line)
+                if n not in results or r["triples_per_sec"] > results[n]["triples_per_sec"]:
+                    results[n] = r
         lo, hi = legs
         thr_lo = results[lo]["triples_per_sec"]
         thr_hi = results[hi]["triples_per_sec"]
