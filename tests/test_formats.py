@@ -294,3 +294,32 @@ class TestRdfParserExtension:
         assert base["restrictions"] == {}
         sub = OwlishParser().parse('<http://a> <http://b> "c" .')
         assert sub["restrictions"] == {"n_triples": 1}
+
+
+class TestDetectionEdgeCases:
+    """Remaining RdfParserTest characterization pins."""
+
+    def test_turtle_detected_after_leading_comment(self):
+        assert detect.detect_format("# a comment\n@prefix x: <http://x/> .") == "turtle"
+
+    def test_html_is_not_rdf(self):
+        from parser_rdf_ray.parser import can_parse
+
+        assert can_parse("<html><body>hi</body></html>") is False
+
+    def test_whitespace_only_not_parseable(self):
+        from parser_rdf_ray.parser import can_parse
+
+        assert can_parse("   \n  ") is False
+
+    def test_prefix_only_turtle_yields_empty_extractions(self):
+        from parser_rdf_ray import parse_document
+
+        r = parse_document("@prefix x: <http://x/> .")
+        assert r["triples"] == []
+        assert r["classes"] == {} and r["properties"] == {} and r["shapes"] == {}
+        assert r["prefixes"]["x"] == "http://x/"
+
+    def test_priority_turtle_beats_ntriples_when_both_match(self):
+        doc = "@prefix x: <http://x/> .\n<http://a> <http://b> <http://c> ."
+        assert detect.detect_format(doc) == "turtle"
