@@ -124,3 +124,58 @@ def test_can_parse_never_raises(content):
     from parser_rdf_ray.parser import can_parse
 
     assert can_parse(content) in (True, False)
+
+
+# --- core exchange primitives (pure local properties) -----------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 4)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_drop_consecutive_dups_equals_set_distinct_on_sorted(rows):
+    """On sorted input, consecutive-dedup == set-distinct (the property
+    dedup_triples_sorted relies on within each range partition)."""
+    import pyarrow as pa
+
+    from parser_rdf_ray.stages.canonicalize import drop_consecutive_dup_rows
+
+    rows = sorted(f"s{a}|p{b}|o{c}".split("|") for a, b, c in rows)
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": ["iri"] * len(rows),
+            "obj_datatype": [""] * len(rows),
+            "obj_lang": [""] * len(rows),
+            "graph": ["g"] * len(rows),
+        }
+    )
+    out = drop_consecutive_dup_rows(t)
+    got = list(zip(out.column("subj").to_pylist(), out.column("pred").to_pylist(), out.column("obj").to_pylist()))
+    expected = sorted(set(map(tuple, rows)))
+    assert got == [list(e) for e in map(list, expected)] or got == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 8), min_size=1, max_size=80))
+def test_run_spans_partitions_sorted_keys(keys):
+    """run_spans segments exactly the equal-key runs of a sorted column."""
+    import pyarrow as pa
+
+    from parser_rdf_ray.stages.groups import run_spans
+
+    keys = sorted(keys)
+    t = pa.table({"k": [f"k{v}" for v in keys]})
+    starts, ends = run_spans(t, ["k"])
+    assert starts[0] == 0 and ends[-1] == len(keys)
+    # reconstructed runs are constant and consecutive runs differ
+    for s, e in zip(starts, ends):
+        assert len({keys[i] for i in range(s, e)}) == 1
+    for i in range(len(starts) - 1):
+        assert keys[starts[i]] != keys[starts[i + 1]]
