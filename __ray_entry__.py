@@ -547,6 +547,14 @@ def _q_rel_events_window(sf_dir: str):
     return agg.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)
 
 
+
+
+def _q_rel_sessions(sf_dir: str):
+    from parser_rdf_ray.pipelines.relational import sessionize
+
+    return sessionize(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -581,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lineitem_agg": _q_rel_lineitem_agg,
         "rel_join_topk": _q_rel_join_topk,
         "rel_events_window": _q_rel_events_window,
+        "rel_sessions": _q_rel_sessions,
     }
 
 
@@ -837,6 +846,27 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         "f AS frame_idx, f * 1000 AS offset_ms "
         "FROM a, unnest(range(2)) AS t(f)"
     )
+
+
+    # gap-based sessionization (30-minute inactivity gap per user)
+    sql["rel_sessions"] = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, sid AS session_idx, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
 
     sql["rel_lineitem_agg"] = (
         "SELECT l_returnflag, l_linestatus, "

@@ -156,3 +156,60 @@ def events_window_agg(sf_dir: str):
         return agg.rename_columns(["event_type", "hour", "sum_value", "n_events"])
 
     return partials.groupby(["event_type", "hour"]).map_groups(final, batch_format="pyarrow")
+
+
+SESSIONS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_idx", pa.int64()),
+        ("session_start", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+        ("sum_value", pa.float64()),
+    ]
+)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization (the batch analog of session windows):
+    events sorted so each user's rows are contiguous in ONE partition
+    (stages/groups.py sorted-run machinery — sorting by user_id alone
+    co-partitions equal keys, unlike sorting by (user_id, ts), where a
+    range boundary could split one user's rows), then per-user vectorized
+    gap detection + reduceat session aggregates."""
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+    )
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def user_sessions(run: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            run, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        run = run.take(order)
+        ts = run.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        val = run.column("value").to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], len(ts))
+        uid = run.column("user_id")[0].as_py()
+        return pa.Table.from_arrays(
+            [
+                pa.array([uid] * len(starts), pa.int64()),
+                pa.array(np.arange(1, len(starts) + 1), pa.int64()),
+                pa.array(ts[starts].astype("datetime64[us]"), pa.timestamp("us")),
+                pa.array(ends - starts, pa.int64()),
+                pa.array(
+                    np.round(np.add.reduceat(val, starts), 6), pa.float64()
+                ),
+            ],
+            schema=SESSIONS_SCHEMA,
+        )
+
+    return grouped_run_map(ds, ["user_id"], user_sessions, schema=SESSIONS_SCHEMA, min_run=1)
