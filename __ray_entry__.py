@@ -303,17 +303,22 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
+    # verify threshold == oracle threshold (0.8): at 32 bands × 4 rows a
+    # jaccard ≥ 0.8 pair is banded with prob 1-(1-0.8^4)^32 ≈ 1-5e-8, so
+    # the verified pipeline output equals the exact-jaccard≥0.8 pair set
     from parser_rdf_ray.pipelines.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_flat_docs(sf_dir), threshold=0.3).select_columns(
+    return minhash_lsh_dedup(_flat_docs(sf_dir), threshold=0.8).select_columns(
         ["doc_a", "doc_b"]
     )
 
 
 def _q_dedup_simhash(sf_dir: str):
+    # max_hamming=3 makes banding EXACT (pigeonhole over 4×16-bit bands),
+    # so the all-pairs Hamming SQL oracle must match bit-for-bit
     from parser_rdf_ray.pipelines.dedup import simhash_dedup
 
-    return simhash_dedup(_flat_docs(sf_dir), max_hamming=8).select_columns(
+    return simhash_dedup(_flat_docs(sf_dir), max_hamming=3).select_columns(
         ["doc_a", "doc_b", "hamming"]
     )
 
@@ -720,6 +725,35 @@ pairs AS (
 SELECT doc_a, doc_b FROM pairs WHERE j >= 0.8
 """
 
+    # SimHash verified END-TO-END in SQL: token hash = md5_number_lower
+    # (== the pipeline's md5-low64, pipelines/dedup.py:_md5_low64), per-doc
+    # 64-bit simhash rebuilt via 64 sign-of-weighted-bit-sum aggregates,
+    # then the exact all-pairs Hamming≤3 join over bit_count(xor). Valid
+    # as an equality oracle because 4×16-bit banding is pigeonhole-exact
+    # at Hamming ≤ 3.
+    _sim_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64)
+    )
+    sql["dedup_simhash"] = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, md5_number_lower(tk) AS hv FROM tok),
+sims AS (SELECT doc_id, {_sim_bits} AS sim FROM h GROUP BY doc_id),
+allsim AS (
+  SELECT d.doc_id, COALESCE(s.sim, CAST(0 AS UBIGINT)) AS sim
+  FROM documents d LEFT JOIN sims s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
     # language-ID heuristic is pure set arithmetic over constant stopword
     # profiles → exactly re-derivable in SQL (profiles injected below;
     # tie-break = profile declaration order, score must beat 0 strictly)
@@ -782,6 +816,26 @@ JOIN sizes sb ON sb.doc_id = co.doc_b
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """
 
+    # Fingerprint recomputed in SQL: the 8-byte window polynomial (base
+    # 257) never exceeds 255·257^7·8 < 2^58, so BIGINT arithmetic is exact
+    # (the pipeline's uint64 "wrap" never actually wraps) and ord() ==
+    # byte value on the ASCII driver corpus. Short-text (<8 chars)
+    # fallback mirrors the pipeline's digest[:16].
+    _fp_powers = [257 ** (7 - i) for i in range(8)]
+    _fp_window = " + ".join(
+        f"ord(substr(text, i + {j}, 1)) * {p}" for j, p in enumerate(_fp_powers)
+    )
+    sql["text_fingerprint"] = f"""
+SELECT doc_id,
+       CASE WHEN length(text) < 8 THEN substr(md5(text), 1, 16)
+            ELSE printf('%016x',
+                 list_min(list_transform(range(1, length(text) - 6),
+                                         i -> {_fp_window})))
+       END AS fingerprint,
+       md5(text) AS digest
+FROM documents
+"""
+
     sql["text_bpe"] = (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
         r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens "
@@ -824,6 +878,39 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     )
 
+    # IVF/LSH ANN verified END-TO-END in SQL: the seeded hyperplanes are
+    # injected as constants, so DuckDB re-derives each vector's bucket
+    # (sign bits of 8 dot products), the probe set (Hamming ≤ 1 from any
+    # query bucket — exactly the pipeline's 1-bit-flip expansion), the
+    # candidate filter, and the exact top-10 over candidates. Sign margins
+    # are safe: min |dot| over all sf corpora is 8.9e-6, ~10^7 × float64
+    # summation-order noise.
+    from parser_rdf_ray.pipelines.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 8)  # float32; float() is exact widening
+    _bucket_expr = " + ".join(
+        "(CASE WHEN list_dot_product(emb, [{}]) > 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(v)) for v in _planes[bit]), 1 << bit
+        )
+        for bit in range(8)
+    )
+    sql["knn_ivf"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, {_bucket_expr} AS bucket FROM e),
+qb AS (SELECT DISTINCT bucket FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT b.vec_id, b.emb FROM b
+  WHERE EXISTS (SELECT 1 FROM qb
+                WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(qb.bucket AS BIGINT))) <= 1)
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+scored AS (SELECT q.query_id, c.vec_id,
+                  list_cosine_similarity(q.qe, c.emb) AS cosine
+           FROM q CROSS JOIN cand c)
+SELECT query_id, vec_id FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 10
+"""
+
     sql["media_features"] = (
         "WITH m AS (SELECT doc_id, unnest(range(doc_id % 3)) AS i FROM documents) "
         "SELECT doc_id, 'media://' || doc_id || '/' || i AS media_ref, "
@@ -863,7 +950,7 @@ s AS (
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
-SELECT user_id, sid AS session_idx, MIN(ts) AS session_start,
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx, MIN(ts) AS session_start,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
 """
@@ -889,6 +976,8 @@ FROM s GROUP BY user_id, sid
         "FROM events GROUP BY event_type, hour"
     )
 
-    # dedup_minhash / dedup_simhash / text_langid / text_fingerprint are
-    # non-SQL-expressible (sketch/heuristic ops) → rows-only checks.
+    # Every queries() entry has an oracle: the sketch/heuristic ops
+    # (minhash, simhash, langid, fingerprint, knn_ivf) are oracle-checked
+    # by injecting their seeded constants (permutations / hyperplanes /
+    # profiles / hash choice) into SQL that recomputes them exactly.
     return sql

@@ -60,7 +60,10 @@ _UNESCAPE_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|[tbnrf\"\\\\])")
 # falls back to the full validator/tokenizer pair below, so the fast path
 # can only accept lines both paths accept (equivalence pinned by the W3C
 # conformance suite + tests/test_formats.py fuzz check).
-_IRI_BODY = r"[a-zA-Z][a-zA-Z0-9+.\-]*:[^\s>]*"
+# '<' excluded from the body: IRIREF forbids it, and the full validator
+# rejects such lines — the fast path must never accept a line the
+# validator rejects (a '<' inside <...> now falls through to the slow path)
+_IRI_BODY = r"[a-zA-Z][a-zA-Z0-9+.\-]*:[^\s<>]*"
 _BNODE_BODY = r'[A-Za-z0-9_][^\s<>.;,:"]*'
 _SIMPLE_LINE_RE = re.compile(
     rf"^(?:<(?P<s_iri>{_IRI_BODY})>|_:(?P<s_bn>{_BNODE_BODY}))[ \t]*"

@@ -17,13 +17,32 @@ designed for 100 TB scale:
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_log = logging.getLogger(__name__)
+
 _TOKEN_RE = re.compile(r"\W+")
+
+# quadratic guard: a bucket with more docs than this has its pair emission
+# truncated (degenerate-bucket protection). NEVER silent: every truncation
+# logs the dropped-pair count (no-silent-caps rule).
+BUCKET_CAP = 1000
+
+
+def _capped_ids(ids: np.ndarray, what: str) -> np.ndarray:
+    if len(ids) > BUCKET_CAP:
+        dropped = len(ids) * (len(ids) - 1) // 2 - BUCKET_CAP * (BUCKET_CAP - 1) // 2
+        _log.warning(
+            "%s bucket of %d docs truncated to %d (dropping %d candidate pairs)",
+            what, len(ids), BUCKET_CAP, dropped,
+        )
+        return ids[:BUCKET_CAP]
+    return ids
 
 # minhash parameters: 128 permutations, 32 bands × 4 rows
 N_PERM = 128
@@ -163,8 +182,8 @@ _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
     """Candidate pairs within one (band, bucket) run, capped to bound
-    pathological buckets (quadratic guard for degenerate buckets)."""
-    ids = np.sort(group.column("doc_id").to_numpy())[:50]
+    pathological buckets (quadratic guard; truncation is logged)."""
+    ids = _capped_ids(np.sort(group.column("doc_id").to_numpy()), "minhash")
     ii, jj = np.triu_indices(len(ids), k=1)
     return pa.Table.from_arrays(
         [pa.array(ids[ii], pa.int64()), pa.array(ids[jj], pa.int64())],
@@ -197,82 +216,174 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
-def minhash_lsh_dedup(documents_ds, threshold: float = 0.8):
+def _attach_texts(pairs_ds, documents_ds, key_col: str, out_col: str, carry: list[str]):
+    """Distributed text lookup in ONE exchange: union text rows (kind=0,
+    keyed by doc_id) with pair rows (kind=1, keyed by ``key_col``), sort by
+    (key, kind), then a sorted-run scan attaches each run's leading text
+    row to the pair rows behind it. No driver-side pair/text collection;
+    the text side streams through the same range-partitioned sort the rest
+    of the engine uses (stages/groups.py co-partitioning guarantee)."""
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    carry_types = {c: pa.int64() for c in carry}
+    if "text_a" in carry:
+        carry_types["text_a"] = pa.string()
+    union_fields = (
+        [("key", pa.int64()), ("kind", pa.int8())]
+        + [(c, carry_types[c]) for c in carry]
+        + [("text", pa.string())]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def text_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = [
+            pc.cast(batch.column("doc_id"), pa.int64()),
+            pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        ]
+        for c in carry:
+            arrays.append(pa.nulls(n, carry_types[c]))
+        arrays.append(pc.cast(batch.column("text"), pa.string()))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def pair_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = [
+            pc.cast(batch.column(key_col), pa.int64()),
+            pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+        ]
+        for c in carry:
+            arrays.append(pc.cast(batch.column(c), carry_types[c]))
+        arrays.append(pa.nulls(n, pa.string()))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    unioned = documents_ds.map_batches(
+        text_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(pairs_ds.map_batches(pair_side, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_schema = pa.schema([(c, carry_types[c]) for c in carry] + [(out_col, pa.string())])
+
+    def attach(run: pa.Table) -> pa.Table:
+        # run = all rows for one key (order within the run is arbitrary —
+        # the sort key is `key` alone so equal keys are co-partitioned;
+        # adding kind to the sort key would NOT co-partition a key's run)
+        kinds = run.column("kind")
+        text_rows = run.filter(pc.equal(kinds, 0))
+        if text_rows.num_rows == 0:  # pair rows whose doc has no text: drop
+            return out_schema.empty_table()
+        text_val = text_rows.column("text")[0].as_py()
+        prs = run.filter(pc.equal(kinds, 1))
+        arrays = [prs.column(c) for c in carry]
+        arrays.append(pa.array([text_val] * prs.num_rows, pa.string()))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    # min_run=2: a doc with no pair rows is a singleton (text-only) run and
+    # never reaches Python
+    return grouped_run_map(unioned, ["key"], attach, schema=out_schema, min_run=2)
+
+
+def minhash_lsh_dedup(documents_ds, threshold: float = 0.8,
+                      broadcast_max_docs: int = 100_000):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
-    Verification joins candidate pairs back to text via a broadcast
-    dict — valid while the duplicate-candidate set ≪ corpus (the common
-    case); for adversarial corpora swap in a hash-partitioned text join.
+    Verification needs each pair's two texts. Fast path (candidate doc set
+    ≤ ``broadcast_max_docs``): broadcast a {doc_id: text} dict via ray.put
+    and score pairs in a task pool. Scale path (near-dup-heavy corpora
+    where the candidate set is a large corpus fraction): two sorted-run
+    text-attachment exchanges (_attach_texts) — pairs and texts co-sorted
+    by doc key, texts picked up in-stream, never collected to the driver.
     Returns (doc_a, doc_b, jaccard) rows with jaccard ≥ threshold.
     """
     import ray
+    import ray.data
 
-    pairs = minhash_candidate_pairs(documents_ds).select_columns(["doc_a", "doc_b"])
-    needed: set[int] = set()
-    pair_rows = pairs.take_all()
-    for r in pair_rows:
-        needed.add(r["doc_a"])
-        needed.add(r["doc_b"])
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+        names=["doc_a", "doc_b", "jaccard"],
+    )
 
-    def keep_needed(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(list(needed), pa.int64()))
-        return batch.filter(mask).select(["doc_id", "text"])
+    # candidate pairs are tiny vs the corpus: materialize so count + reuse
+    # don't re-run the banding stage
+    pairs = minhash_candidate_pairs(documents_ds).select_columns(["doc_a", "doc_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty)
 
-    texts = {}
-    if needed:
+    def verify_batch(batch: pa.Table, texts: dict | None = None) -> pa.Table:
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        if texts is not None:
+            ta = [texts.get(x, "") for x in a]
+            tb = [texts.get(y, "") for y in b]
+        else:
+            ta = batch.column("text_a").to_pylist()
+            tb = batch.column("text_b").to_pylist()
+        scores = [jaccard(x, y) for x, y in zip(ta, tb)]
+        out = pa.Table.from_arrays(
+            [
+                pa.array(a, pa.int64()),
+                pa.array(b, pa.int64()),
+                pa.array(scores, pa.float64()),
+            ],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    if 2 * n_pairs <= broadcast_max_docs:
+        # fast path: collect the (small) needed-text dict, broadcast once
+        needed: set[int] = set()
+        for r in pairs.take_all():
+            needed.add(r["doc_a"])
+            needed.add(r["doc_b"])
+
+        def keep_needed(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                batch.column("doc_id"), value_set=pa.array(list(needed), pa.int64())
+            )
+            return batch.filter(mask).select(["doc_id", "text"])
+
+        texts = {}
         small = documents_ds.map_batches(
             keep_needed, batch_format="pyarrow", zero_copy_batch=True
         )
         for r in small.take_all():
             texts[r["doc_id"]] = r["text"]
+        text_ref = ray.put(texts)
 
-    text_ref = ray.put(texts)
+        class Verify:
+            def __init__(self):
+                self.texts = ray.get(text_ref)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(text_ref)
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return verify_batch(batch, self.texts)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("doc_a").to_pylist()
-            b = batch.column("doc_b").to_pylist()
-            scores = [
-                jaccard(self.texts.get(x, ""), self.texts.get(y, "")) for x, y in zip(a, b)
-            ]
-            out = batch.append_column("jaccard", pa.array(scores, pa.float64()))
-            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+        return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
 
-    if not pair_rows:
-        import ray.data
-
-        return ray.data.from_arrow(
-            pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
-                names=["doc_a", "doc_b", "jaccard"],
-            )
-        )
-    import ray.data
-
-    pair_table = pa.Table.from_pylist(pair_rows)
-    return ray.data.from_arrow(pair_table).map_batches(
-        Verify, batch_format="pyarrow", concurrency=(1, 4)
+    # scale path: two sorted-run text joins, then verify in-stream
+    with_a = _attach_texts(pairs, documents_ds, "doc_a", "text_a", ["doc_a", "doc_b"])
+    with_ab = _attach_texts(
+        with_a, documents_ds, "doc_b", "text_b", ["doc_a", "doc_b", "text_a"]
     )
+    return with_ab.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- simhash ---------------------------------------------------------------
 
 
+def _md5_low64(token: str) -> int:
+    """Token hash = low 64 bits of md5, little-endian — bit-for-bit equal
+    to DuckDB's ``md5_number_lower``, so the SQL oracle can recompute
+    simhashes exactly (verified: md5_number_lower('hello') ==
+    int.from_bytes(md5('hello').digest()[8:16], 'little'))."""
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[8:16], "little")
+
+
 def simhash64(text: str) -> int:
-    """64-bit simhash over token hashes (vectorized bit-count accumulate)."""
+    """64-bit simhash over md5-low64 token hashes (SQL-reproducible)."""
     tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
     if not tokens:
         return 0
-    hashes = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-            for t in tokens
-        ],
-        dtype=np.uint64,
-    )
+    hashes = np.array([_md5_low64(t) for t in tokens], dtype=np.uint64)
     bits = ((hashes.reshape(-1, 1) >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
     return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
@@ -280,17 +391,19 @@ def simhash64(text: str) -> int:
 
 class SimHashBands:
     """documents → (band_id, band16, doc_id, simhash) rows; 4×16-bit bands
-    guarantee a bucket collision for Hamming distance ≤ 3.
+    guarantee a bucket collision for Hamming distance ≤ 3 (pigeonhole:
+    ≤ 3 differing bits cannot touch all 4 disjoint bands), which makes
+    simhash_dedup(max_hamming=3) EXACT — the SQL oracle is the full
+    all-pairs Hamming join over recomputed simhashes.
 
-    Whole-batch vectorization (same plan as MinHashBands): one xxhash over
-    the batch's flattened token list, a (tokens × 64) ±1 bit matrix summed
-    per doc with add.reduceat in slabs, sign-packed back into uint64."""
+    Token hashes are md5-low64 (== DuckDB md5_number_lower) hashed once
+    per *distinct* token per batch (np.unique gather), then a
+    (tokens × 64) ±1 bit matrix summed per doc with add.reduceat in
+    slabs, sign-packed back into uint64."""
 
     _SLAB_TOKENS = 65_536  # (64 × slab) int8 bit matrix = 4MB
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
-
         doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         texts = batch.column("text").to_pylist()
         n = len(texts)
@@ -305,7 +418,11 @@ class SimHashBands:
 
         acc = np.zeros((n, 64), dtype=np.int64)
         if all_tokens:
-            hashed = pl.Series(all_tokens).hash(seed=11).to_numpy().astype(np.uint64)
+            uniq, inv = np.unique(np.array(all_tokens, dtype=object), return_inverse=True)
+            uniq_hashes = np.fromiter(
+                (_md5_low64(u) for u in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            hashed = uniq_hashes[inv]
             shifts = np.arange(64, dtype=np.uint64)
             doc_lo = 0
             while doc_lo < n:
@@ -356,7 +473,7 @@ def simhash_dedup(documents_ds, max_hamming: int = 3):
     from parser_rdf_ray.stages.groups import grouped_run_map, sorted_distinct
 
     def band_pairs(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column("doc_id").to_numpy())[:50]
+        order = _capped_ids(np.argsort(group.column("doc_id").to_numpy()), "simhash")
         ids = group.column("doc_id").to_numpy()[order]
         hashes = group.column("simhash").to_numpy()[order]
         ii, jj = np.triu_indices(len(ids), k=1)

@@ -158,47 +158,74 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.95, dim: int = 64):
 
 
 def embedding_near_dup_exact(embeddings_ds, threshold: float = 0.4):
-    """Exhaustive near-dup pairs: each streamed batch scores against the
-    full corpus matrix broadcast once (ray.put → actor __init__). Exact
-    (oracle-verifiable); O(n·N) work split across the pool. For corpora
-    where the matrix exceeds worker memory, use embedding_near_dup (LSH)."""
+    """Exact cosine-threshold similarity join as a distributed tiled
+    block-pair sweep — NO driver materialization.
+
+    The driver collects only block *references*; one prep task per block
+    decodes + L2-normalizes it into an (ids, matrix) pair held in plasma,
+    then one score task per unordered block pair (B·(B+1)/2 tasks) does a
+    single matmul tile and emits (vec_a < vec_b) rows with cosine ≥
+    threshold. Each task touches exactly two bounded blocks (zero-copy
+    plasma reads), so memory stays flat while the cluster schedules tiles
+    anywhere. The work is inherently O(n²) — it is an *exact* similarity
+    join; at corpus scale use embedding_near_dup (LSH) when the threshold
+    is high enough for hyperplane bucketing to have recall (cosine ≳ 0.9).
+    At low thresholds (the oracle's 0.4 — angle ≈ 66°) no LSH family has
+    usable recall, so only this exact sweep is deterministic-recall-1.
+
+    Raw Ray tasks (not Dataset ops) are the documented last resort here:
+    a block cross-product is not expressible as a Dataset transform.
+    """
     import ray
+    import ray.data
 
-    all_rows = embeddings_ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    mat = _normalize(np.array([r["embedding"] for r in all_rows], dtype=np.float64))
-    ref = ray.put((ids, mat))
+    proj = embeddings_ds.select_columns(["vec_id", "embedding"])
+    block_refs = [
+        br for bundle in proj.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
 
-    class Scorer:
-        """Lazy-deref task stage (see BruteForceScorer): the corpus matrix
-        is one zero-copy plasma read per worker, no actor cold-start."""
+    @ray.remote
+    def prep(block: pa.Table):
+        ids = np.asarray(block.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _normalize(np.array(block.column("embedding").to_pylist(), dtype=np.float64))
+        return ids, mat
 
-        def __init__(self):
-            self.ids = None
-            self.mat = None
+    preps = [prep.remote(r) for r in block_refs]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.ids is None:
-                self.ids, self.mat = ray.get(ref)
-            vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
-            a, b = [], []
-            if emb.size:
-                sims = emb @ self.mat.T  # (batch, N)
-                ii, jj = np.nonzero(sims >= threshold)
-                for i, j in zip(ii, jj):
-                    va, vb = int(vec_ids[i]), int(self.ids[j])
-                    if va < vb:  # dedup: emit each unordered pair once
-                        a.append(va)
-                        b.append(vb)
-            return pa.Table.from_arrays(
-                [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+    @ray.remote
+    def score_tile(tile_a, tile_b, same_block: bool) -> pa.Table:
+        (ia, ma), (ib, mb) = tile_a, tile_b
+        a_out = np.empty(0, dtype=np.int64)
+        b_out = a_out
+        if len(ia) and len(ib):
+            sims = ma @ mb.T
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b = ia[ii], ib[jj]
+            if same_block:
+                keep = a < b
+                a_out, b_out = a[keep], b[keep]
+            else:
+                # blocks are disjoint (unique vec_ids): each unordered pair
+                # appears in exactly one (i<j) tile — just normalize order
+                a_out, b_out = np.minimum(a, b), np.maximum(a, b)
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64())],
+            names=["vec_a", "vec_b"],
+        )
+
+    tiles = [
+        score_tile.remote(preps[i], preps[j], i == j)
+        for i in range(len(preps))
+        for j in range(i, len(preps))
+    ]
+    if not tiles:
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
                 names=["vec_a", "vec_b"],
             )
-
-    return embeddings_ds.map_batches(
-        Scorer(), batch_format="pyarrow", zero_copy_batch=True
-    )
+        )
+    return ray.data.from_arrow_refs(tiles)
 
 
 def knn_ivf(embeddings_ds, queries: dict[int, list[float]], k: int = 10, n_bits: int = 8):

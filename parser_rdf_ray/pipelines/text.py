@@ -1,9 +1,10 @@
 """Text-analysis operators (training-data pipeline ops): token counting,
 quality scoring, language ID, document fingerprinting.
 
-token_count and quality metrics are defined to be SQL-reproducible so the
-DuckDB oracle can verify them exactly; langid and fingerprints get
-rows-only checks (non-SQL-expressible).
+Every operator here is defined to be SQL-reproducible so the DuckDB
+oracle can verify it exactly: token/quality metrics map to string_split /
+regexp kernels, langid's stopword profiles are injected as SQL constants,
+and fingerprints use md5 + an ord()-polynomial the oracle recomputes.
 """
 
 from __future__ import annotations
@@ -161,9 +162,14 @@ _FP_POWERS = None
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Rolling-hash document fingerprint: min of 8-byte window polynomial
-    hashes (winnowing-style, base 257 mod 2^64 — wrap-around arithmetic so
-    the window hashes vectorize as one sliding-window multiply-add per
-    doc), plus a full-content blake2b digest."""
+    hashes (winnowing-style, base 257 — window values stay < 2^58 =
+    255·257^7·8, so uint64 never wraps and the hashes vectorize as one
+    sliding-window multiply-add per doc), plus a full-content md5 digest.
+
+    Both columns are SQL-reproducible (the driver oracle recomputes them):
+    digest = DuckDB md5(text); fingerprint = printf('%016x',
+    list_min(window polynomial over ord())) — exact on ASCII corpora
+    (byte == codepoint), which the driver documents tables are."""
     import numpy as np
 
     global _FP_POWERS
@@ -180,13 +186,14 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     with np.errstate(over="ignore"):
         for t in texts:
             data = t.encode()
-            digests.append(hashlib.blake2b(data, digest_size=16).hexdigest())
+            digest = hashlib.md5(data).hexdigest()
+            digests.append(digest)
             if len(data) < 8:
-                fps.append(hashlib.blake2b(data, digest_size=8).hexdigest())
+                fps.append(digest[:16])
                 continue
             arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
             windows = np.lib.stride_tricks.sliding_window_view(arr, 8)
-            h = (windows * _FP_POWERS).sum(axis=1)  # mod 2^64 wrap
+            h = (windows * _FP_POWERS).sum(axis=1)
             fps.append(f"{int(h.min()):016x}")
     return pa.Table.from_arrays(
         [

@@ -213,7 +213,15 @@ class TestNTriplesFastSlowEquivalence:
         )
         from parser_rdf_ray.model import ParseError
 
-        subjects = ["<http://e/s>", "<http://e/s#frag>", "_:b0", "_:8x", "<rel>", "_:has:colon"]
+        subjects = [
+            "<http://e/s>",
+            "<http://e/s#frag>",
+            "_:b0",
+            "_:8x",
+            "<rel>",
+            "_:has:colon",
+            "<http://a<b>",
+        ]
         objects = [
             "<http://e/o>",
             "<http://e/o#f>",
@@ -230,6 +238,7 @@ class TestNTriplesFastSlowEquivalence:
             '"bad\\qescape"',
             '"""triple"""',
             "<http://e/o",
+            "<http://e/o<nested>",
         ]
         spacings = [" ", "  ", "\t", ""]
         suffixes = [" .", ".", " . # trailing comment", " ; extra"]

@@ -202,6 +202,65 @@ class TestDedupOps:
         pairs = simhash_dedup(ray.data.from_arrow(tbl)).to_pandas()
         assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
 
+    def test_simhash_token_hash_matches_duckdb(self):
+        """The md5-low64 token hash must equal DuckDB md5_number_lower —
+        the contract that makes the dedup_simhash SQL oracle exact."""
+        import duckdb
+
+        from parser_rdf_ray.pipelines.dedup import _md5_low64
+
+        for tok in ["hello", "überweisung", "x", "the"]:
+            (expected,) = duckdb.execute(
+                "SELECT md5_number_lower(?)", [tok]
+            ).fetchone()
+            assert _md5_low64(tok) == expected
+
+    def test_simhash_batch_matches_scalar(self):
+        """SimHashBands' vectorized slab accumulation equals the scalar
+        simhash64 reference doc-by-doc."""
+        from parser_rdf_ray.pipelines.dedup import SimHashBands, simhash64
+
+        texts = [
+            "alpha beta gamma",
+            "",
+            "the quick brown fox the quick brown fox",
+            "one",
+        ]
+        tbl = pa.Table.from_pydict({"doc_id": list(range(len(texts))), "text": texts})
+        out = SimHashBands()(tbl)
+        got = {
+            d: s for d, s in zip(out.column("doc_id").to_pylist(),
+                                 out.column("simhash").to_pylist())
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == simhash64(t), f"doc {i}"
+
+    def test_minhash_distributed_verify_matches_broadcast(self, ray_session):
+        """The scale-path sorted-run text join (broadcast_max_docs=0) must
+        produce exactly the broadcast fast path's verified pairs."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import minhash_lsh_dedup
+
+        base = "the quick brown fox jumps over the lazy dog again and again " * 5
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    base,
+                    base + " extra tail words",
+                    "completely different content here about other topics entirely now",
+                    base,
+                ],
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        fast = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+        dist = minhash_lsh_dedup(ds, threshold=0.5, broadcast_max_docs=0).to_pandas()
+        key = lambda df: sorted(zip(df.doc_a, df.doc_b, df.jaccard.round(9)))
+        assert key(fast) == key(dist)
+        assert (1, 4) in set(zip(dist.doc_a, dist.doc_b))  # exact dup pair
+
 
 class TestSimilarity:
     def test_knn_self_is_top(self, ray_session):
@@ -217,6 +276,71 @@ class TestSimilarity:
             assert len(rows) == 5
             assert rows.iloc[0].vec_id == qid  # self-match at cosine 1.0
             assert rows.iloc[0].cosine == pytest.approx(1.0)
+
+    def test_near_dup_exact_distributed_matches_numpy(self, ray_session):
+        """The tiled block-pair sweep (no driver take_all) must equal the
+        single-process all-pairs reference at any block decomposition."""
+        import numpy as np
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import (
+            _normalize,
+            embedding_near_dup_exact,
+        )
+
+        rng = np.random.RandomState(7)
+        n, dim = 300, 16
+        mat = rng.normal(size=(n, dim))
+        mat[50] = mat[10] + rng.normal(scale=0.01, size=dim)  # planted near-dup
+        tbl = pa.Table.from_pydict(
+            {"vec_id": list(range(n)), "embedding": [list(map(float, v)) for v in mat]}
+        )
+        # force a multi-block layout so cross-tile pairs are exercised
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        got = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_exact(ds, threshold=0.4).take_all()
+        )
+        nm = _normalize(mat.astype(np.float64))
+        sims = nm @ nm.T
+        ii, jj = np.nonzero(sims >= 0.4)
+        expected = sorted((int(a), int(b)) for a, b in zip(ii, jj) if a < b)
+        assert got == expected
+        assert (10, 50) in got
+
+    def test_lsh_near_dup_recall_vs_exact_at_high_threshold(self, ray_session):
+        """embedding_near_dup (LSH) is the scale path for high thresholds:
+        at cosine ≥ 0.95 its pairs must be a subset of the exact sweep's,
+        and it must find every planted near-identical pair."""
+        import numpy as np
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import (
+            embedding_near_dup,
+            embedding_near_dup_exact,
+        )
+
+        rng = np.random.RandomState(21)
+        n, dim = 200, 64
+        mat = rng.normal(size=(n, dim))
+        planted = [(3, 103), (7, 107), (50, 150)]
+        for a, b in planted:
+            mat[b] = mat[a] + rng.normal(scale=0.005, size=dim)
+        tbl = pa.Table.from_pydict(
+            {"vec_id": list(range(n)), "embedding": [list(map(float, v)) for v in mat]}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        lsh = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup(ds, threshold=0.95, dim=dim).take_all()
+        }
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_exact(ds, threshold=0.95).take_all()
+        }
+        assert lsh <= exact  # no false positives (in-bucket scoring is exact)
+        for pair in planted:
+            assert pair in lsh  # near-identical vectors collide in all bits
 
     def test_media_features_stub(self, ray_session, docs):
         from parser_rdf_ray.pipelines.multimodal import media_features
@@ -257,6 +381,33 @@ class TestTextOps:
         out = langid(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
         assert out.loc[1, "lang_pred"] == "en"
         assert out.loc[2, "lang_pred"] == "es"
+
+    def test_fingerprint_matches_duckdb(self):
+        """Both fingerprint columns must be bit-for-bit SQL-reproducible:
+        digest = md5(text); fingerprint = min 8-byte-window polynomial
+        (base 257, no uint64 wrap possible) formatted %016x."""
+        import duckdb
+
+        from parser_rdf_ray.pipelines.text import fingerprint_batch
+
+        texts = ["the quick brown fox jumps over the lazy dog", "tiny", "x" * 100]
+        tbl = pa.Table.from_pydict({"doc_id": [0, 1, 2], "text": texts})
+        out = fingerprint_batch(tbl)
+        powers = [257 ** (7 - i) for i in range(8)]
+        window = " + ".join(
+            f"ord(substr(text, i + {j}, 1)) * {p}" for j, p in enumerate(powers)
+        )
+        for i, t in enumerate(texts):
+            fp, dg = duckdb.execute(
+                f"""SELECT CASE WHEN length(text) < 8 THEN substr(md5(text), 1, 16)
+                        ELSE printf('%016x', list_min(list_transform(
+                             range(1, length(text) - 6), i -> {window}))) END,
+                        md5(text)
+                 FROM (SELECT ? AS text)""",
+                [t],
+            ).fetchone()
+            assert out.column("fingerprint")[i].as_py() == fp
+            assert out.column("digest")[i].as_py() == dg
 
 
 class TestNgramJaccard:
