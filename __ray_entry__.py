@@ -30,22 +30,26 @@ _SH = "http://www.w3.org/ns/shacl#"
 # non-error docs (parse-error injection slice: n-triples docs, doc_id%13==7)
 _OK_DOCS = "SELECT doc_id, source, lang, n_chars FROM documents WHERE NOT (doc_id % 4 = 0 AND doc_id % 13 = 7)"
 
+_GRAPH = "http://ex.org/graph/"
+
 _TRIPLES_CTE = f"""
 WITH d AS ({_OK_DOCS}),
 ttl AS (SELECT * FROM d WHERE doc_id % 4 = 1),
+jld AS (SELECT * FROM d WHERE doc_id % 4 = 3),
 trip AS (
-  SELECT doc_id, '{_DOC}' || doc_id AS subj, '{_VOCAB}source' AS pred, source AS obj FROM d
-  UNION ALL SELECT doc_id, '{_DOC}' || doc_id, '{_VOCAB}lang', lang FROM d
-  UNION ALL SELECT doc_id, '{_DOC}' || doc_id, '{_VOCAB}nchars', CAST(n_chars AS VARCHAR) FROM d
-  UNION ALL SELECT doc_id, '{_CLASS}' || source, '{_RDF}type', '{_RDFS}Class' FROM d
-  UNION ALL SELECT doc_id, '{_CLASS}' || source, '{_RDFS}label', source FROM d
-  UNION ALL SELECT doc_id, '{_VOCAB}source', '{_RDF}type', '{_RDF}Property' FROM ttl
-  UNION ALL SELECT doc_id, '{_VOCAB}source', '{_RDFS}label', 'source' FROM ttl
-  UNION ALL SELECT doc_id, '{_VOCAB}lang', '{_RDF}type', '{_RDF}Property' FROM ttl
-  UNION ALL SELECT doc_id, '{_VOCAB}lang', '{_RDFS}label', 'lang' FROM ttl
-  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_RDF}type', '{_SH}NodeShape' FROM ttl
-  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_SH}targetClass', '{_CLASS}' || source FROM ttl
-  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_SH}minCount', '1' FROM ttl
+  SELECT doc_id, '{_DOC}' || doc_id AS subj, '{_VOCAB}source' AS pred, source AS obj, '_:default' AS graph FROM d
+  UNION ALL SELECT doc_id, '{_DOC}' || doc_id, '{_VOCAB}lang', lang, '_:default' FROM d
+  UNION ALL SELECT doc_id, '{_DOC}' || doc_id, '{_VOCAB}nchars', CAST(n_chars AS VARCHAR), '_:default' FROM d
+  UNION ALL SELECT doc_id, '{_CLASS}' || source, '{_RDF}type', '{_RDFS}Class', '_:default' FROM d
+  UNION ALL SELECT doc_id, '{_CLASS}' || source, '{_RDFS}label', source, '_:default' FROM d
+  UNION ALL SELECT doc_id, '{_VOCAB}source', '{_RDF}type', '{_RDF}Property', '_:default' FROM ttl
+  UNION ALL SELECT doc_id, '{_VOCAB}source', '{_RDFS}label', 'source', '_:default' FROM ttl
+  UNION ALL SELECT doc_id, '{_VOCAB}lang', '{_RDF}type', '{_RDF}Property', '_:default' FROM ttl
+  UNION ALL SELECT doc_id, '{_VOCAB}lang', '{_RDFS}label', 'lang', '_:default' FROM ttl
+  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_RDF}type', '{_SH}NodeShape', '_:default' FROM ttl
+  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_SH}targetClass', '{_CLASS}' || source, '_:default' FROM ttl
+  UNION ALL SELECT doc_id, '{_SHAPE}' || source, '{_SH}minCount', '1', '_:default' FROM ttl
+  UNION ALL SELECT doc_id, '{_DOC}' || doc_id || '#g', '{_VOCAB}graphOf', '{_DOC}' || doc_id, '{_GRAPH}' || doc_id FROM jld
 )
 """
 
@@ -222,6 +226,27 @@ def _q_kg_resolved(sf_dir: str):
 
     adjacency, _ = build_kg(_docs(sf_dir), alias_dict=_alias_dict_from_sources(sf_dir))
     return adjacency.select_columns(["subj", "pred", "obj"])
+
+
+def _q_kg_graphs(sf_dir: str):
+    """Named-graph assembly (W3 full): per-graph triple counts over the
+    corpus — '_:default' sentinel plus one named graph per JSON-LD doc
+    (RdfParser::buildGraphs keying, src/RdfParser.php:136-154)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.kg_build import documents_to_raw_triples, split_errors
+
+    ok, _ = split_errors(documents_to_raw_triples(_docs(sf_dir)))
+    counts = ok.groupby("graph").count()
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("graph"), pc.cast(b.column("count()"), pa.int64())],
+            names=["graph", "n_triples"],
+        )
+
+    return counts.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_kg_errors(sf_dir: str):
@@ -569,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,
         "kg_degree": _q_kg_degree,
         "kg_paths2": _q_kg_paths2,
+        "kg_graphs": _q_kg_graphs,
         "kg_errors": _q_kg_errors,
         "kg_classes": _q_kg_classes,
         "kg_properties": _q_kg_properties,
@@ -638,6 +664,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT DISTINCT CASE WHEN subj LIKE '{_SHAPE}%' "
         f"THEN '{_CLASS}' || substr(subj, {len(_SHAPE) + 1}) ELSE subj END AS subj, "
         "pred, obj FROM trip"
+    )
+
+    sql["kg_graphs"] = _TRIPLES_CTE + (
+        "SELECT graph, COUNT(*) AS n_triples FROM trip GROUP BY graph"
     )
 
     sql["kg_errors"] = (
@@ -923,7 +953,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <
         "SELECT doc_id, 'media://' || doc_id || '/' || i AS media_ref, "
         "64 + 32 * ((doc_id + i) % 7) AS src_w, "
         "64 + 32 * ((doc_id * 3 + i) % 5) AS src_h, "
-        "224 AS out_w, 224 AS out_h FROM m WHERE i % 2 = 0"
+        "CAST(224 AS BIGINT) AS out_w, CAST(224 AS BIGINT) AS out_h "
+        "FROM m WHERE i % 2 = 0"
     )
 
     sql["media_frames"] = (

@@ -52,6 +52,11 @@ class _JsonLdToTriples:
         self.context = context
         self.triples: list[Triple] = []
         self._bnode_ids = itertools.count(1)
+        # current named-graph IRI; "" = default graph. A node object with
+        # BOTH @id and @graph names a graph: its members' triples carry
+        # that IRI (the engine extension past the reference's
+        # single-graph JSON-LD scope; keyed per RdfParser.php:136-154)
+        self._graph = ""
 
     def _new_bnode(self) -> str:
         return f"jsongenid{next(self._bnode_ids)}"
@@ -90,14 +95,24 @@ class _JsonLdToTriples:
                 for t in types:
                     if isinstance(t, str):
                         self.triples.append(
-                            Triple(subj, subj_kind, RDF_TYPE, self._expand(t), IRI, "", "", 0)
+                            Triple(
+                                subj, subj_kind, RDF_TYPE, self._expand(t), IRI,
+                                "", "", 0, self._graph,
+                            )
                         )
                 continue
             if key == "@graph":
+                # explicit @id on the container → NAMED graph for members;
+                # no @id (e.g. the top-level {"@context", "@graph"} shape)
+                # → members stay in the enclosing graph
+                outer = self._graph
+                if isinstance(node_id, str) and node_id and subj_kind == IRI:
+                    self._graph = subj
                 items = value if isinstance(value, list) else [value]
                 for item in items:
                     if isinstance(item, dict):
                         self.node(item)
+                self._graph = outer
                 continue
             pred = self._expand_pred(key)
             if pred is None:
@@ -122,35 +137,35 @@ class _JsonLdToTriples:
                 elif isinstance(val, float):
                     val, dt = str(val), dt or XSD + "double"
                 self.triples.append(
-                    Triple(subj, subj_kind, pred, str(val), LITERAL, dt, lang, 0)
+                    Triple(subj, subj_kind, pred, str(val), LITERAL, dt, lang, 0, self._graph)
                 )
                 return
             if set(v.keys()) == {"@id"} and isinstance(v["@id"], str):
                 ref = v["@id"]
                 if ref.startswith("_:"):
-                    self.triples.append(Triple(subj, subj_kind, pred, ref[2:], BNODE, "", "", 0))
+                    self.triples.append(Triple(subj, subj_kind, pred, ref[2:], BNODE, "", "", 0, self._graph))
                 else:
                     self.triples.append(
-                        Triple(subj, subj_kind, pred, self._expand(ref), IRI, "", "", 0)
+                        Triple(subj, subj_kind, pred, self._expand(ref), IRI, "", "", 0, self._graph)
                     )
                 return
             # nested node object
             o_kind, o_val = self.node(v)
-            self.triples.append(Triple(subj, subj_kind, pred, o_val, o_kind, "", "", 0))
+            self.triples.append(Triple(subj, subj_kind, pred, o_val, o_kind, "", "", 0, self._graph))
             return
         if isinstance(v, bool):
             self.triples.append(
-                Triple(subj, subj_kind, pred, "true" if v else "false", LITERAL, XSD + "boolean", "", 0)
+                Triple(subj, subj_kind, pred, "true" if v else "false", LITERAL, XSD + "boolean", "", 0, self._graph)
             )
             return
         if isinstance(v, int):
             self.triples.append(
-                Triple(subj, subj_kind, pred, str(v), LITERAL, XSD + "integer", "", 0)
+                Triple(subj, subj_kind, pred, str(v), LITERAL, XSD + "integer", "", 0, self._graph)
             )
             return
         if isinstance(v, float):
             self.triples.append(
-                Triple(subj, subj_kind, pred, str(v), LITERAL, XSD + "double", "", 0)
+                Triple(subj, subj_kind, pred, str(v), LITERAL, XSD + "double", "", 0, self._graph)
             )
             return
         if isinstance(v, str):
@@ -158,9 +173,9 @@ class _JsonLdToTriples:
             # that resolve via context as references, else plain literals
             expanded = self._expand(v)
             if expanded != v and _ABS_IRI_RE.match(expanded):
-                self.triples.append(Triple(subj, subj_kind, pred, expanded, IRI, "", "", 0))
+                self.triples.append(Triple(subj, subj_kind, pred, expanded, IRI, "", "", 0, self._graph))
             else:
-                self.triples.append(Triple(subj, subj_kind, pred, v, LITERAL, "", "", 0))
+                self.triples.append(Triple(subj, subj_kind, pred, v, LITERAL, "", "", 0, self._graph))
             return
 
 

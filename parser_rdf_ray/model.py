@@ -30,6 +30,10 @@ class Triple(NamedTuple):
     obj_datatype: str  # "" when absent
     obj_lang: str  # "" when absent
     line_no: int  # 1-based source line where available, else 0
+    # named-graph IRI; "" means the default graph (the parse stage maps ""
+    # to the "_:default" sentinel, RdfParser.php:136-154). Only formats
+    # that can express named graphs (JSON-LD @id+@graph) set this.
+    graph: str = ""
 
 
 class ParseError(Exception):

@@ -49,7 +49,14 @@ def parse_document(content: str, options: dict[str, Any] | None = None) -> dict[
     g = DocGraph(triples)
     include_skolemized = bool(options.get("includeSkolemizedBlankNodes", False))
 
-    parser_prefixes = extras if isinstance(extras, dict) else None
+    # extras double as the parser prefix map (X1); only string→string
+    # entries are prefixes — plugin side-channels like 'additional_graphs'
+    # (consumed by _build_graphs) must not leak into the prefix table
+    parser_prefixes = (
+        {k: v for k, v in extras.items() if isinstance(k, str) and isinstance(v, str)}
+        if isinstance(extras, dict)
+        else None
+    )
     xml_root = extras if fmt == FORMAT_RDFXML else None
 
     prefixes = entities.extract_prefixes(g, fmt, content, parser_prefixes)
@@ -78,9 +85,32 @@ def parse_document(content: str, options: dict[str, Any] | None = None) -> dict[
             "resource_count": g.resource_count(),
         },
         "raw_content": content,
-        # single-graph formats → default-graph sentinel (RdfParser.php:136-154)
-        "graphs": {DEFAULT_GRAPH: {"format": fmt, "triple_count": len(triples)}},
+        "graphs": _build_graphs(fmt, triples, extras),
     }
+
+
+def _build_graphs(fmt: str, triples, extras) -> dict[str, dict]:
+    """Graphs assembly (W3 full, RdfParser::buildGraphs, RdfParser.php:136-154):
+    keyed by graph URI with the '_:default' sentinel for the default graph.
+    Per-graph entries carry format + triple_count (our flat-table analog of
+    the reference's per-graph ParsedRdf). Handlers may supply extra graphs
+    via an 'additional_graphs' key in their extras dict (the reference's
+    metadata['additional_graphs'] merge — later entries win on key clash,
+    pinned by tests/Unit/NamedGraphSupportTest.php:60-77,145-157)."""
+    counts: dict[str, int] = {}
+    for t in triples:
+        key = t.graph or DEFAULT_GRAPH
+        counts[key] = counts.get(key, 0) + 1
+    if not counts:
+        counts[DEFAULT_GRAPH] = 0
+    graphs = {g: {"format": fmt, "triple_count": n} for g, n in counts.items()}
+    if isinstance(extras, dict):
+        additional = extras.get("additional_graphs")
+        if isinstance(additional, dict):
+            for uri, meta in additional.items():
+                if isinstance(meta, dict):
+                    graphs[uri] = meta
+    return graphs
 
 
 def _parse_content(content: str, options: dict, plugins):

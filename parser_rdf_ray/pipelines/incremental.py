@@ -8,20 +8,23 @@ disjoint), so a delta merge only needs to
 
 1. parse + canonicalize + locally-distinct the DELTA corpus,
 2. route each delta row to the existing partition whose key range owns
-   it (vectorized searchsorted over the manifest's key_min boundaries),
-3. merge-and-rewrite ONLY the partitions that received delta rows (one
-   Ray task per touched partition: read file + delta slice → concat →
-   sort → consecutive-dedup → write), and
+   it — by FULL identity-tuple bisect over the manifest's exact
+   first-row tuples (leading-column bounds are NOT enough: the sort
+   splits on the whole tuple, so one subject can span two partitions),
+3. merge-and-rewrite ONLY the partitions that received delta rows via a
+   groupby(pid) shuffle feeding one merge task per touched partition
+   (read file + delta group → concat → sort → consecutive-dedup →
+   write) — delta rows never visit the driver, and
 4. reference untouched partition files unchanged (hard link when the
    filesystem allows, copy otherwise — never read, never rewritten).
 
 Global sortedness is preserved because rows routed to partition p all
-have keys in [key_min_p, key_min_{p+1}) — they can extend p's max but
-never reach the next partition's min. Raw ``ray.remote`` tasks are used
-for step 3 (the documented last-resort case: per-file merge with a side
-input isn't expressible as a Dataset op); the partitioning assumption it
-relies on is exactly the manifest's disjoint-range invariant, pinned by
-tests/test_ray_stages.py::TestLineageKeyBounds.
+have tuples in [T_p, T_{p+1}) — they can extend p's max but never reach
+the next partition's first tuple. Any non-empty partition missing its
+recorded first row makes pruned merge unsafe → raise, caller falls back
+to the full re-exchange (kg_build.incremental_update). Pinned by
+tests/test_ray_stages.py::TestIncrementalMergePruned (multiset equality
++ cross-file ordering) and ::TestLineageKeyBounds.
 """
 
 from __future__ import annotations
@@ -51,78 +54,116 @@ def _delta_triples(new_documents_ds):
     )
 
 
+def route_by_first_tuples(
+    batch: pa.Table, first_tuples: list[tuple], identity_cols: list[str]
+) -> pa.Table:
+    """Append a ``pid`` column: the index of the partition owning each
+    row's FULL identity tuple (bisect over sorted exact first-row tuples;
+    partition p owns [T_p, T_{p+1}), p=0 also owns everything below T_0).
+
+    A boundary subject (same subj as a partition's first row but a smaller
+    full tuple) correctly routes to the PREVIOUS partition — the case
+    leading-column routing gets wrong."""
+    import bisect
+
+    cols = [batch.column(c).to_pylist() for c in identity_cols]
+    pids = np.fromiter(
+        (max(0, bisect.bisect_right(first_tuples, t) - 1) for t in zip(*cols)),
+        dtype=np.int32,
+        count=batch.num_rows,
+    )
+    return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+
 def incremental_merge_pruned(
     existing_dir: str, new_documents_ds, out_dir: str, run_id: str = "incr"
 ) -> dict:
     """Merge a delta corpus into the checkpointed sorted adjacency at
-    ``existing_dir`` (must hold a _lineage.json with key bounds), writing
-    the merged stage to ``out_dir``. Returns merge metrics including how
-    many partitions were rewritten vs passed through untouched."""
-    import ray
+    ``existing_dir`` (must hold a _lineage.json with full first-row tuple
+    bounds), writing the merged stage to ``out_dir``. Returns merge metrics
+    including how many partitions were rewritten vs passed through.
 
+    Routing is by the FULL identity tuple against each partition's exact
+    first row: the checkpoint is range-partitioned on the whole tuple, so a
+    single subject can legally span two partitions — leading-column (subj)
+    bounds would mis-route boundary subjects, leaving duplicates and
+    breaking global order. Partitions lacking the recorded first row (old
+    manifests, or files whose stats read failed) make pruned merge unsafe:
+    this raises, and the caller falls back to the full re-exchange path
+    (kg_build.incremental_update), which needs no bounds at all.
+    """
     manifest = lineage.read_manifest(os.path.dirname(existing_dir), os.path.basename(existing_dir))
     if manifest is None:
         raise ValueError(f"{existing_dir} has no _lineage.json manifest")
-    parts = [p for p in manifest["partitions"] if p["rows"] > 0 and "key_min" in p]
-    parts.sort(key=lambda p: p["key_min"])
-    if not parts:
-        raise ValueError(f"{existing_dir} manifest has no non-empty partitions with bounds")
-    boundaries = [p["key_min"] for p in parts]
+    identity = canon.ADJACENCY_IDENTITY_COLS
+    nonempty = [p for p in manifest["partitions"] if p["rows"] > 0]
+    if not nonempty:
+        raise ValueError(f"{existing_dir} manifest has no non-empty partitions")
+    missing = [
+        p["file"]
+        for p in nonempty
+        if not all(c in p.get("first_row", {}) for c in identity)
+    ]
+    if missing:
+        raise ValueError(
+            "pruned merge needs full first-row tuple bounds for every "
+            f"non-empty partition; missing for {missing} — use the full "
+            "re-exchange path (incremental_update) instead"
+        )
+    parts = sorted(nonempty, key=lambda p: tuple(p["first_row"][c] for c in identity))
+    first_tuples = [tuple(p["first_row"][c] for c in identity) for p in parts]
+    src_paths = [os.path.join(existing_dir, p["file"]) for p in parts]
+    dst_paths = [os.path.join(out_dir, p["file"]) for p in parts]
 
-    # 1-2. delta rows, routed by partition id (vectorized searchsorted)
-    bounds_arr = np.array(boundaries[1:], dtype=object)  # route to [min_p, min_{p+1})
-
+    # 1-2. delta rows routed by full-tuple bisect: partition p owns
+    # [T_p, T_{p+1}) and p=0 additionally owns (-inf, T_0)
     def assign_pid(batch: pa.Table) -> pa.Table:
-        subj = np.asarray(batch.column("subj").to_pylist(), dtype=object)
-        pid = np.searchsorted(bounds_arr, subj, side="right").astype(np.int32)
-        return batch.append_column("pid", pa.array(pid, pa.int32()))
+        return route_by_first_tuples(batch, first_tuples, identity)
 
     delta = _delta_triples(new_documents_ds).map_batches(
         assign_pid, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    # Collect the routed delta grouped by pid. The delta is the small side
-    # by definition; at larger delta sizes swap take_all for a groupby
-    # shuffle feeding the merge tasks per-partition.
-    by_pid: dict[int, list[dict]] = {}
-    for row in delta.take_all():
-        by_pid.setdefault(row.pop("pid"), []).append(row)
 
     os.makedirs(out_dir, exist_ok=True)
-    identity = canon.ADJACENCY_IDENTITY_COLS
 
-    @ray.remote
-    def merge_partition(src_path: str, rows: list[dict], dst_path: str) -> int:
+    # 3. groupby(pid) shuffle feeds one merge task per TOUCHED partition —
+    # delta rows never visit the driver. Per-group dispatch is fine here:
+    # group count is bounded by the partition count, not the row count.
+    def merge_partition(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        existing = pq.read_table(src_path, columns=identity)
-        add = None
-        if rows:
-            # cast to the stored schema (checkpoints written from
-            # polars-sorted blocks carry large_string columns)
-            add = pa.Table.from_pylist(rows).select(list(identity)).cast(existing.schema)
-        merged = pa.concat_tables([existing, add]) if add is not None else existing
+        pid = group.column("pid")[0].as_py()
+        existing = pq.read_table(src_paths[pid], columns=identity)
+        # cast to the stored schema (checkpoints written from
+        # polars-sorted blocks carry large_string columns)
+        add = group.select(identity).cast(existing.schema)
+        merged = pa.concat_tables([existing, add])
         merged = merged.sort_by([(c, "ascending") for c in identity])
         merged = canon.drop_consecutive_dup_rows(merged)
-        pq.write_table(merged, dst_path)
-        return merged.num_rows
+        pq.write_table(merged, dst_paths[pid])
+        return pa.Table.from_pydict(
+            {"pid": [pid], "rows_out": [merged.num_rows], "delta_rows": [group.num_rows]},
+            schema=pa.schema(
+                [("pid", pa.int32()), ("rows_out", pa.int64()), ("delta_rows", pa.int64())]
+            ),
+        )
 
     t0 = time.time()
-    futures = {}
+    stats = delta.groupby("pid").map_groups(merge_partition, batch_format="pyarrow")
+    stat_rows = stats.take_all()  # one tiny row per touched partition
+    merged_rows = {r["pid"]: r["rows_out"] for r in stat_rows}
+    delta_rows_routed = sum(r["delta_rows"] for r in stat_rows)
+
     untouched = 0
-    for pid, part in enumerate(parts):
-        src = os.path.join(existing_dir, part["file"])
-        dst = os.path.join(out_dir, part["file"])
-        rows = by_pid.get(pid)
-        if not rows:
-            # pass-through: link (or copy) without reading
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copyfile(src, dst)
-            untouched += 1
-        else:
-            futures[pid] = merge_partition.remote(src, rows, dst)
-    merged_rows = {pid: ray.get(f) for pid, f in futures.items()}
+    for pid in range(len(parts)):
+        if pid in merged_rows:
+            continue
+        # pass-through: link (or copy) without reading
+        try:
+            os.link(src_paths[pid], dst_paths[pid])
+        except OSError:
+            shutil.copyfile(src_paths[pid], dst_paths[pid])
+        untouched += 1
     rows_out = sum(merged_rows.values()) + sum(
         p["rows"] for pid, p in enumerate(parts) if pid not in merged_rows
     )
@@ -130,9 +171,9 @@ def incremental_merge_pruned(
     metrics = {
         "run_id": run_id,
         "partitions_total": len(parts),
-        "partitions_rewritten": len(futures),
+        "partitions_rewritten": len(merged_rows),
         "partitions_untouched": untouched,
-        "delta_rows_routed": sum(len(v) for v in by_pid.values()),
+        "delta_rows_routed": int(delta_rows_routed),
         "rows_out": rows_out,
         "merge_sec": round(time.time() - t0, 3),
     }

@@ -81,18 +81,30 @@ def lineitem_agg(sf_dir: str):
 
 def orders_join_topk(sf_dir: str, k: int = 10):
     """Broadcast join orders←customer + global top-k by totalprice.
-    customer (small side) is collected once to a dict; orders stream.
+    The customer (small-side) dict is built IN A TASK and only its
+    ObjectRef reaches the driver — the rows never transit driver memory,
+    so a GB-scale small side only has to fit in one worker. Orders stream.
     Top-k: per-block partial top-k → final sort of ≤ k × n_blocks rows."""
     import ray
     import ray.data
 
-    customers = {}
-    cust_ds = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
-    )
-    for r in cust_ds.take_all():
-        customers[r["c_custkey"]] = (r["c_name"], r["c_mktsegment"])
-    cust_ref = ray.put(customers)
+    @ray.remote
+    def build_customer_dict() -> dict:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+        )
+        return {
+            ck: (nm, seg)
+            for ck, nm, seg in zip(
+                t.column("c_custkey").to_pylist(),
+                t.column("c_name").to_pylist(),
+                t.column("c_mktsegment").to_pylist(),
+            )
+        }
+
+    cust_ref = build_customer_dict.remote()
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]

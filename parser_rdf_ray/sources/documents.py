@@ -55,13 +55,18 @@ def is_error_doc(doc_id: int) -> bool:
 
 SHAPE_NS = "http://ex.org/shape/"
 SH_NS = "http://www.w3.org/ns/shacl#"
+GRAPH_NS = "http://ex.org/graph/"
 
 
 def expected_triples(doc_id: int, source: str, lang: str, n_chars: int):
     """The (subj, pred, obj) triples every payload serializes — the ground
     truth the DuckDB oracle recomputes in SQL. All formats carry 5 base
     triples; Turtle docs additionally declare two property entities and a
-    SHACL shape (7 more) so property/shape extraction has real coverage."""
+    SHACL shape (7 more) so property/shape extraction has real coverage;
+    JSON-LD docs additionally carry ONE triple inside a NAMED graph
+    (http://ex.org/graph/{doc_id}) so named-graph assembly (W3 full) is
+    exercised end-to-end — its (subj, pred, obj) is unique per doc, so
+    graph-blind projections (kg_adjacency) stay oracle-consistent."""
     doc = DOC_NS + str(doc_id)
     cls = CLASS_NS + source
     triples = [
@@ -82,6 +87,8 @@ def expected_triples(doc_id: int, source: str, lang: str, n_chars: int):
             (shape, SH_NS + "targetClass", cls),
             (shape, SH_NS + "minCount", "1"),
         ]
+    if doc_format(doc_id) == "json-ld":
+        triples.append((doc + "#g", VOCAB_NS + "graphOf", doc))
     return triples
 
 
@@ -130,7 +137,8 @@ def rdf_payload(doc_id: int, source: str, lang: str, n_chars: int) -> str:
             f"  </rdfs:Class>\n"
             f"</rdf:RDF>"
         )
-    # json-ld
+    # json-ld — includes one NAMED graph ({"@id": graph-IRI, "@graph": [...]}
+    # names a graph for its members) exercising W3-full assembly
     return (
         "{\n"
         f'  "@context": {{"v": "{VOCAB_NS}", "rdfs": "{RDFS_NS}"}},\n'
@@ -138,7 +146,10 @@ def rdf_payload(doc_id: int, source: str, lang: str, n_chars: int) -> str:
         f'    {{"@id": "{doc}", "v:source": "{source}", "v:lang": "{lang}",\n'
         f'     "v:nchars": {{"@value": "{n_chars}", "@type": "{XSD_INT}"}}}},\n'
         f'    {{"@id": "{cls}", "@type": "rdfs:Class",\n'
-        f'     "rdfs:label": {{"@value": "{source}", "@language": "en"}}}}\n'
+        f'     "rdfs:label": {{"@value": "{source}", "@language": "en"}}}},\n'
+        f'    {{"@id": "{GRAPH_NS}{doc_id}", "@graph": [\n'
+        f'      {{"@id": "{doc}#g", "v:graphOf": {{"@id": "{doc}"}}}}\n'
+        "    ]}\n"
         "  ]\n"
         "}"
     )

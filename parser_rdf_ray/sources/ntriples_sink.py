@@ -211,9 +211,16 @@ def write_turtle(adjacency_ds, out_dir: str, prefixes: dict[str, str] | None = N
 
 
 def serialize_jsonld_batch(batch: pa.Table) -> pa.Table:
-    """Adjacency rows → one JSON node-object string per SUBJECT (blocks
-    from dedup_triples_sorted are subject-sorted, so consecutive rows
-    group without a shuffle). Values: {"@id"} for IRIs, {"@value"} with
+    """Adjacency rows → one JSON node-object string per SUBJECT RUN
+    (blocks from dedup_triples_sorted are subject-sorted, so consecutive
+    rows group without a shuffle). The sort range-partitions on the FULL
+    triple tuple, so a subject whose rows straddle two blocks yields one
+    node object per block — duplicate "@id" across output files. That is
+    valid JSON-LD by design: a dataset is the GRAPH UNION of its node
+    objects, and objects sharing an @id merge (our own parser and any
+    conforming processor union their properties; pinned by the round-trip
+    test). Forcing one object per subject would cost a second shuffle for
+    zero semantic gain. Values: {"@id"} for IRIs, {"@value"} with
     @language/@type for literals; multi-valued predicates become lists.
     JSON assembly is per-subject Python — nested-document serialization
     has no Arrow kernel; the grouping itself is the vectorized part."""

@@ -43,7 +43,14 @@ class EntityLinker:
     """Callable class for map_batches(..., concurrency=N) actor pools.
 
     alias_ref: a ray.ObjectRef to dict[surface_lower -> canonical_uri]
-    (or a plain dict for Ray-free unit tests). Loaded once per actor.
+    (or a plain dict for Ray-free unit tests). Loaded once per actor,
+    along with the Arrow value_set of alias surfaces the prefilter uses.
+
+    Vectorized hot path: the full triple stream never runs row-by-row
+    Python. Local names are computed once per DISTINCT subject
+    (dictionary-encode → Python over the small dictionary → take), hits
+    are found with pc.is_in against the alias-surface set, and only hit
+    rows — a tiny fraction of a real corpus — enter the emit loop.
     """
 
     def __init__(self, alias_ref):
@@ -53,37 +60,62 @@ class EntityLinker:
             self.aliases = alias_ref
         else:
             self.aliases = ray.get(alias_ref)
+        self._surface_set = pa.array(list(self.aliases.keys()), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Input: triple rows. Mentions scored: IRI subjects whose local
         name (or rdfs:label object on the row) hits the alias dict."""
-        subjs = batch.column("subj").to_pylist()
-        kinds = batch.column("subj_kind").to_pylist()
-        preds = batch.column("pred").to_pylist()
-        objs = batch.column("obj").to_pylist()
+        import numpy as np
+        import pyarrow.compute as pc
 
-        out = {n: [] for n in LINKS_SCHEMA.names}
-        seen: set[tuple[str, str]] = set()
         aliases = self.aliases
-        for subj, kind, pred, obj in zip(subjs, kinds, preds, objs):
-            if kind != "iri":
-                continue
-            surfaces = [_local_name(subj).lower()]
-            if pred.endswith("label"):
-                surfaces.append(obj.lower())
-            for surface in surfaces:
-                canonical = aliases.get(surface)
-                if canonical is None or canonical == subj:
-                    continue
-                key = (subj, canonical)
-                if key in seen:
-                    continue
-                seen.add(key)
-                out["mention_uri"].append(subj)
-                out["canonical_uri"].append(canonical)
-                out["surface"].append(surface)
-                # exact-match score; fuzzy scoring would grade edit distance
-                out["score"].append(1.0)
+        subj = pc.cast(batch.column("subj").combine_chunks(), pa.string())
+        iri_mask = pc.equal(batch.column("subj_kind"), "iri")
+
+        # local names once per distinct subject, broadcast back via take
+        enc = pc.dictionary_encode(subj)
+        locals_of_dict = pa.array(
+            [_local_name(v).lower() for v in enc.dictionary.to_pylist()], pa.string()
+        )
+        local_arr = pc.take(locals_of_dict, enc.indices)
+
+        subj_hit = pc.and_(iri_mask, pc.is_in(local_arr, value_set=self._surface_set))
+        obj_lower = pc.utf8_lower(pc.cast(batch.column("obj"), pa.string()))
+        label_hit = pc.and_(
+            pc.and_(iri_mask, pc.ends_with(batch.column("pred"), pattern="label")),
+            pc.is_in(obj_lower, value_set=self._surface_set),
+        )
+        any_hit = np.asarray(
+            pc.or_(subj_hit, label_hit).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        out = {n: [] for n in LINKS_SCHEMA.names}
+        if any_hit.any():
+            hit_idx = np.flatnonzero(any_hit)
+            subjs = subj.take(pa.array(hit_idx)).to_pylist()
+            locs = local_arr.take(pa.array(hit_idx)).to_pylist()
+            s_hits = np.asarray(subj_hit.to_numpy(zero_copy_only=False), dtype=bool)[hit_idx]
+            l_hits = np.asarray(label_hit.to_numpy(zero_copy_only=False), dtype=bool)[hit_idx]
+            labels = obj_lower.take(pa.array(hit_idx)).to_pylist()
+            seen: set[tuple[str, str]] = set()
+            for i, s in enumerate(subjs):
+                surfaces = []
+                if s_hits[i]:
+                    surfaces.append(locs[i])
+                if l_hits[i]:
+                    surfaces.append(labels[i])
+                for surface in surfaces:
+                    canonical = aliases.get(surface)
+                    if canonical is None or canonical == s:
+                        continue
+                    key = (s, canonical)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    out["mention_uri"].append(s)
+                    out["canonical_uri"].append(canonical)
+                    out["surface"].append(surface)
+                    # exact-match score; fuzzy scoring would grade edit distance
+                    out["score"].append(1.0)
         return pa.Table.from_arrays(
             [pa.array(out[n], LINKS_SCHEMA.field(n).type) for n in LINKS_SCHEMA.names],
             schema=LINKS_SCHEMA,
@@ -141,9 +173,10 @@ def sameas_edges(triples_ds) -> list[tuple[str, str]]:
 
 
 def apply_rename(ds, rename_map: dict[str, str]):
-    """Vectorized rename of subj/obj via a broadcast map. The map is shipped
-    once per task via ray.put under the hood (closure capture of an
-    ObjectRef-wrapped dict)."""
+    """Vectorized rename of subj/obj via a broadcast map: index_in against
+    the rename-key array, take the replacement where it hits, keep the
+    original elsewhere — zero per-row Python. The key/value arrays are
+    built once per actor from the ray.put'd dict."""
     import ray
 
     if not rename_map:
@@ -152,16 +185,18 @@ def apply_rename(ds, rename_map: dict[str, str]):
 
     class Renamer:
         def __init__(self):
-            self.renames = ray.get(ref)
+            renames = ray.get(ref)
+            self.keys = pa.array(list(renames.keys()), pa.string())
+            self.vals = pa.array(list(renames.values()), pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            renames = self.renames
+            import pyarrow.compute as pc
+
             for col in ("subj", "obj"):
-                vals = batch.column(col).to_pylist()
-                new = [renames.get(v, v) for v in vals]
-                batch = batch.set_column(
-                    batch.column_names.index(col), col, pa.array(new, pa.string())
-                )
+                c = pc.cast(batch.column(col).combine_chunks(), pa.string())
+                idx = pc.index_in(c, value_set=self.keys)
+                new = pc.if_else(pc.is_valid(idx), pc.take(self.vals, idx), c)
+                batch = batch.set_column(batch.column_names.index(col), col, new)
             return batch
 
     return ds.map_batches(Renamer, batch_format="pyarrow", concurrency=(1, 8))

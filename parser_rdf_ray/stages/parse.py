@@ -125,17 +125,20 @@ class ParseToTriples:
                 meta.append((doc_id, plugin.name, len(triples)))
 
         if all_triples:
-            subj, subj_kind, pred, obj, obj_kind, obj_dt, obj_lang, line_no = (
+            subj, subj_kind, pred, obj, obj_kind, obj_dt, obj_lang, line_no, graph = (
                 list(c) for c in zip(*all_triples)
             )
             counts = [m[2] for m in meta]
             doc_col = np.repeat(np.array([m[0] for m in meta], dtype=object), counts)
             fmt_col = np.repeat(np.array([m[1] for m in meta], dtype=object), counts)
             n = len(all_triples)
+            # "" → default-graph sentinel; named graphs (JSON-LD @id+@graph)
+            # carry their IRI through every downstream stage
+            graph_col = [g or DEFAULT_GRAPH for g in graph]
             triple_tbl = pa.Table.from_arrays(
                 [
                     pa.array(doc_col, pa.string()),
-                    pa.array([DEFAULT_GRAPH] * n, pa.string()),
+                    pa.array(graph_col, pa.string()),
                     pa.array(subj, pa.string()),
                     pa.array(subj_kind, pa.string()),
                     pa.array(pred, pa.string()),

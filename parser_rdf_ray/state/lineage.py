@@ -18,6 +18,24 @@ import time
 MANIFEST = "_lineage.json"
 
 
+def _read_edge_row(path: str, md, *, first: bool) -> dict:
+    """First or last row of a parquet file, decoding one row group only."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if md.num_rows == 0:
+        return {}
+    rg = pf.read_row_group(0 if first else md.num_row_groups - 1)
+    row = rg.slice(0, 1) if first else rg.slice(rg.num_rows - 1, 1)
+    return {name: row.column(name)[0].as_py() for name in row.column_names}
+
+
+def _json_safe_row(row: dict) -> dict:
+    return {
+        k: v for k, v in row.items() if isinstance(v, (str, int, float, bool)) or v is None
+    }
+
+
 def stage_dir(checkpoint_dir: str, stage: str) -> str:
     return os.path.join(checkpoint_dir, stage)
 
@@ -85,6 +103,17 @@ def checkpoint_stage(ds, checkpoint_dir: str, stage: str, fingerprint: str, run_
                 rec["key_max"] = key_max
         except Exception:
             pass  # bounds are an optimization hint, never a correctness need
+        # Full first/last row (JSON-safe scalars only): for range-partitioned
+        # (sorted) stages these are the partition's exact key-tuple bounds.
+        # Routing a delta row needs the FULL identity tuple — leading-column
+        # (subj) bounds are ambiguous when one subject's rows straddle a
+        # partition boundary (the sort splits on the full tuple), so
+        # incremental_merge_pruned requires these, not key_min/key_max.
+        try:
+            rec["first_row"] = _json_safe_row(_read_edge_row(path, md, first=True))
+            rec["last_row"] = _json_safe_row(_read_edge_row(path, md, first=False))
+        except Exception:
+            pass  # consumers that need exact bounds check for absence
         per_file.append(rec)
         total_rows += md.num_rows
     manifest = {

@@ -200,6 +200,88 @@ class TestJsonLd:
             jsonld.parse('{"@context": broken')
 
 
+class TestNamedGraphs:
+    """W3 full semantics: graphs keyed by graph URI with the '_:default'
+    sentinel, JSON-LD @id+@graph naming, and handler-provided
+    additional_graphs merge (ref src/RdfParser.php:136-154; pinned by
+    tests/Unit/NamedGraphSupportTest.php:60-77,145-157)."""
+
+    NAMED_DOC = """{
+      "@context": {"v": "http://v/", "ex": "http://ex/"},
+      "@graph": [
+        {"@id": "ex:s", "v:p": "default-graph triple"},
+        {"@id": "ex:g1", "v:about": "the graph resource itself",
+         "@graph": [
+           {"@id": "ex:gs", "v:q": {"@id": "ex:go"}},
+           {"@id": "ex:gs2", "v:q2": "lit"}
+         ]}
+      ]
+    }"""
+
+    def test_jsonld_named_graph_triples_carry_graph_iri(self):
+        triples, _ = jsonld.parse(self.NAMED_DOC)
+        by_graph: dict = {}
+        for t in triples:
+            by_graph.setdefault(t.graph, set()).add((t.subj, t.pred, t.obj))
+        assert ("http://ex/s", "http://v/p", "default-graph triple") in by_graph[""]
+        # properties of the graph-name node stay in the enclosing graph
+        assert (
+            "http://ex/g1", "http://v/about", "the graph resource itself"
+        ) in by_graph[""]
+        assert by_graph["http://ex/g1"] == {
+            ("http://ex/gs", "http://v/q", "http://ex/go"),
+            ("http://ex/gs2", "http://v/q2", "lit"),
+        }
+
+    def test_parse_document_graphs_keyed_with_default_sentinel(self):
+        from parser_rdf_ray.parser import parse_document
+
+        result = parse_document(self.NAMED_DOC)
+        graphs = result["graphs"]
+        assert set(graphs) == {"_:default", "http://ex/g1"}
+        assert graphs["_:default"]["triple_count"] == 2
+        assert graphs["http://ex/g1"]["triple_count"] == 2
+        assert graphs["_:default"]["format"] == "json-ld"
+
+    def test_single_graph_formats_keep_default_only(self):
+        from parser_rdf_ray.parser import parse_document
+
+        result = parse_document("<http://s> <http://p> <http://o> .")
+        assert set(result["graphs"]) == {"_:default"}
+        assert result["graphs"]["_:default"]["triple_count"] == 1
+
+    def test_custom_handler_additional_graphs_merge(self):
+        """A registered handler can supply extra graphs via extras
+        ['additional_graphs'] (ref: metadata['additional_graphs'] merge) —
+        and the side-channel must NOT leak into the prefix map."""
+        from parser_rdf_ray.formats.detect import FormatPlugin
+        from parser_rdf_ray.model import IRI, LITERAL, Triple
+        from parser_rdf_ray.parser import RdfParser
+
+        def sniff(content: str) -> bool:
+            return content.startswith("CUSTOM:")
+
+        def parse(content: str):
+            triples = [Triple("http://s", IRI, "http://p", "v", LITERAL, "", "", 0)]
+            extras = {
+                "ex": "http://ex/",
+                "additional_graphs": {
+                    "http://ex/extra": {"format": "custom", "triple_count": 7}
+                },
+            }
+            return triples, extras
+
+        parser = RdfParser()
+        parser.register_handler(FormatPlugin("custom", sniff, parse))
+        result = parser.parse("CUSTOM: payload")
+        assert result["graphs"]["_:default"]["triple_count"] == 1
+        assert result["graphs"]["http://ex/extra"] == {
+            "format": "custom", "triple_count": 7
+        }
+        assert result["prefixes"].get("ex") == "http://ex/"
+        assert "additional_graphs" not in result["prefixes"]
+
+
 class TestNTriplesFastSlowEquivalence:
     """The single-regex fast path must accept exactly what the full
     validator+tokenizer pair accepts (or fall back). Grid-fuzz both paths

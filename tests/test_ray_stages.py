@@ -836,6 +836,23 @@ class TestLineageKeyBounds:
             ordered[i]["key_max"] <= ordered[i + 1]["key_min"]
             for i in range(len(ordered) - 1)
         )
+        # full first/last row tuples present and STRICTLY disjoint across
+        # files (the exact bound pruned merge routes on; leading-column
+        # bounds alone may touch at boundary subjects)
+        from parser_rdf_ray.stages.canonicalize import ADJACENCY_IDENTITY_COLS
+
+        for p in parts:
+            for c in ADJACENCY_IDENTITY_COLS:
+                assert c in p["first_row"] and c in p["last_row"]
+
+        def tup(row):
+            return tuple(row[c] for c in ADJACENCY_IDENTITY_COLS)
+
+        by_tuple = sorted(parts, key=lambda p: tup(p["first_row"]))
+        for p in by_tuple:
+            assert tup(p["first_row"]) <= tup(p["last_row"])
+        for i in range(len(by_tuple) - 1):
+            assert tup(by_tuple[i]["last_row"]) < tup(by_tuple[i + 1]["first_row"])
 
 
 class TestIncrementalMergePruned:
@@ -869,21 +886,93 @@ class TestIncrementalMergePruned:
         assert metrics["partitions_rewritten"] + metrics["partitions_untouched"] == metrics["partitions_total"]
         assert metrics["delta_rows_routed"] > 0
 
+        from collections import Counter
+
+        from parser_rdf_ray.stages.canonicalize import ADJACENCY_IDENTITY_COLS
+
+        def tuples_of(tbl: pa.Table) -> list[tuple]:
+            cols = [tbl.column(c).to_pylist() for c in ADJACENCY_IDENTITY_COLS]
+            return list(zip(*cols))
+
         merged = pa.concat_tables(
-            pq.read_table(f) for f in sorted(pathlib.Path(out).glob("*.parquet"))
+            pq.read_table(f, columns=ADJACENCY_IDENTITY_COLS)
+            for f in sorted(pathlib.Path(out).glob("*.parquet"))
         )
         full, _ = build_kg(docs)
-        f = full.to_pandas()
-        got = set(zip(merged.column("subj").to_pylist(), merged.column("pred").to_pylist(), merged.column("obj").to_pylist()))
-        assert got == set(zip(f.subj, f.pred, f.obj))
-        # global sortedness preserved across pass-through + rewritten files
-        key_bounds = []
+        got = Counter(tuples_of(merged))
+        expected = Counter(tuples_of(pa.Table.from_pandas(full.to_pandas())))
+        # MULTISET equality: a boundary-subject mis-route would leave a
+        # duplicate row that a set comparison cannot see
+        assert got == expected
+        assert max(got.values()) == 1  # merged output is globally distinct
+        # global sortedness preserved across pass-through + rewritten
+        # files, on the FULL identity tuple, with cross-file disjointness
+        file_bounds = []
         for fpath in sorted(pathlib.Path(out).glob("*.parquet")):
-            t = pq.read_table(fpath, columns=["subj"])
+            t = pq.read_table(fpath, columns=ADJACENCY_IDENTITY_COLS)
             if t.num_rows:
-                subs = t.column("subj").to_pylist()
-                assert subs == sorted(subs)
-                key_bounds.append((min(subs), max(subs), fpath.name))
+                tups = tuples_of(t)
+                assert tups == sorted(tups), f"{fpath.name} not tuple-sorted"
+                file_bounds.append((tups[0], tups[-1]))
+        file_bounds.sort()
+        for i in range(len(file_bounds) - 1):
+            assert file_bounds[i][1] < file_bounds[i + 1][0], "files overlap"
+
+
+class TestFullTupleRouting:
+    def test_boundary_subject_routes_to_previous_partition(self):
+        """The regression full-tuple routing exists for: a subject equal to
+        a partition's first-row subject but with a smaller full tuple must
+        route to the PREVIOUS partition (subj-only searchsorted sent it
+        forward, duplicating rows and breaking global order)."""
+        from parser_rdf_ray.pipelines.incremental import route_by_first_tuples
+        from parser_rdf_ray.stages.canonicalize import ADJACENCY_IDENTITY_COLS
+
+        def row(subj, pred, obj):
+            return {
+                "subj": subj, "pred": pred, "obj": obj,
+                "obj_kind": "iri", "obj_datatype": "", "obj_lang": "",
+                "graph": "_:default",
+            }
+
+        # partition 0 ends inside subject s2; partition 1 starts at
+        # (s2, p, o5) — s2 straddles the boundary
+        first_tuples = [
+            tuple(row("s1", "p", "o1")[c] for c in ADJACENCY_IDENTITY_COLS),
+            tuple(row("s2", "p", "o5")[c] for c in ADJACENCY_IDENTITY_COLS),
+        ]
+        batch = pa.Table.from_pylist(
+            [
+                row("s0", "p", "o"),   # below T_0 → clamps to 0
+                row("s2", "p", "o3"),  # boundary subj, tuple < T_1 → pid 0
+                row("s2", "p", "o5"),  # exactly T_1 → pid 1
+                row("s2", "p", "o9"),  # above T_1 → pid 1
+            ]
+        )
+        out = route_by_first_tuples(batch, first_tuples, ADJACENCY_IDENTITY_COLS)
+        assert out.column("pid").to_pylist() == [0, 0, 1, 1]
+
+    def test_missing_bounds_raises(self, ray_session, docs, tmp_path):
+        """A non-empty partition without its recorded first row must make
+        pruned merge refuse (silent row loss otherwise) and point the
+        caller at the full re-exchange path."""
+        import json
+
+        from parser_rdf_ray.pipelines.incremental import incremental_merge_pruned
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.state import lineage
+
+        adjacency, _ = build_kg(docs)
+        lineage.checkpoint_stage(adjacency, str(tmp_path), "adjacency", "fp", "r")
+        mpath = tmp_path / "adjacency" / "_lineage.json"
+        m = json.loads(mpath.read_text())
+        for p in m["partitions"]:
+            p.pop("first_row", None)
+        mpath.write_text(json.dumps(m))
+        with pytest.raises(ValueError, match="first-row tuple bounds"):
+            incremental_merge_pruned(
+                str(tmp_path / "adjacency"), docs, str(tmp_path / "merged")
+            )
 
 
 class TestMinHashRecallProperty:
