@@ -348,10 +348,31 @@ def _q_dedup_simhash(sf_dir: str):
     )
 
 
+def _q_dedup_clusters(sf_dir: str):
+    # connected components over the verified jaccard>=0.8 near-dup graph;
+    # every doc gets its component-min representative
+    from parser_rdf_ray.pipelines.dedup import near_dup_clusters
+
+    return near_dup_clusters(_flat_docs(sf_dir), threshold=0.8)
+
+
 def _q_dedup_ngram_jaccard(sf_dir: str):
     from parser_rdf_ray.pipelines.dedup import ngram_jaccard_dedup
 
     return ngram_jaccard_dedup(_flat_docs(sf_dir), threshold=0.5, n=2)
+
+
+def _q_corpus_split(sf_dir: str):
+    from parser_rdf_ray.pipelines.curation import hash_split
+
+    return hash_split(_flat_docs(sf_dir), train_pct=90)
+
+
+def _q_corpus_curation(sf_dir: str):
+    # composed keep-set: quality gate → near-dup clusters → component reps
+    from parser_rdf_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(_flat_docs(sf_dir), min_tokens=20, min_alpha=0.6, threshold=0.8)
 
 
 def _q_kg_formats(sf_dir: str):
@@ -605,12 +626,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_bpe": _q_text_bpe,
+        "corpus_split": _q_corpus_split,
+        "corpus_curation": _q_corpus_curation,
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -753,6 +777,85 @@ pairs AS (
   FROM gs a JOIN gs b ON a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b FROM pairs WHERE j >= 0.8
+"""
+
+    # deterministic content-free split: same md5-low64 contract as simhash
+    sql["corpus_split"] = (
+        "SELECT doc_id, CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 "
+        "THEN 'train' ELSE 'val' END AS split FROM documents"
+    )
+
+    # Composed curation oracle: quality gate (same expressions as
+    # text_quality) → recursive-reachability components over the
+    # jaccard≥0.8 graph restricted to SURVIVORS → component-min reps.
+    sql["corpus_curation"] = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        / greatest(length(text), 1) >= 0.6
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+  FROM q
+),
+gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [''] END AS gl
+  FROM toks
+),
+gs AS (SELECT doc_id, list_distinct(gl) AS g FROM gram_lists),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) * 1.0
+        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+),
+edges AS (SELECT doc_a, doc_b FROM prs UNION ALL SELECT doc_b, doc_a FROM prs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM q
+  UNION
+  SELECT e.doc_b, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc_id
+),
+reps AS (SELECT doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc_id)
+SELECT doc_id FROM reps WHERE cluster_rep = doc_id
+"""
+
+    # Connected components in SQL: transitive closure by recursive
+    # min-label reachability over the SAME exact-jaccard≥0.8 edge set the
+    # pipeline verifies (undirected → both edge directions); MIN(reachable
+    # id) per doc is the component representative. Closure is cheap
+    # because near-dup components are small.
+    sql["dedup_clusters"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+  FROM documents
+),
+gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [''] END AS gl
+  FROM toks
+),
+gs AS (SELECT doc_id, list_distinct(gl) AS g FROM gram_lists),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) * 1.0
+        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+),
+edges AS (SELECT doc_a, doc_b FROM prs UNION ALL SELECT doc_b, doc_a FROM prs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.doc_b, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc_id
 """
 
     # SimHash verified END-TO-END in SQL: token hash = md5_number_lower

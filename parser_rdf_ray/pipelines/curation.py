@@ -1,0 +1,97 @@
+"""Corpus-curation operators: the end-to-end keep/drop decisions a
+training-data pipeline makes, composed from the engine's vectorized
+primitives — and each SQL-reproducible so the driver oracle verifies the
+composition, not just the pieces.
+
+- hash_split: deterministic train/validation assignment by content-free
+  doc_id hashing (md5-low64 == DuckDB md5_number_lower, the same
+  SQL-equality contract as pipelines/dedup._md5_low64). Split membership
+  is stable under corpus growth/reordering — the property a resumable
+  100 TB ingest needs (a re-run must not migrate documents across
+  splits).
+- curate_corpus: quality gate (vectorized Arrow kernels — token count,
+  alphabetic ratio) → near-duplicate clustering (minhash LSH + verify,
+  pipelines/dedup.py) → keep one representative per cluster. Exact
+  duplicates are jaccard-1.0 pairs, so a separate exact-dedup pass is
+  subsumed by the cluster step.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from parser_rdf_ray.pipelines.dedup import _md5_low64, near_dup_clusters
+
+
+def _split_batch(batch: pa.Table, train_pct: int) -> pa.Table:
+    ids = pc.cast(batch.column("doc_id"), pa.int64())
+    buckets = [
+        _md5_low64(str(i)) % 100 for i in ids.to_pylist()
+    ]  # one md5 per row; C-speed hashlib, no joins, no state
+    split = ["train" if b < train_pct else "val" for b in buckets]
+    return pa.Table.from_arrays(
+        [ids, pa.array(split, pa.string())], names=["doc_id", "split"]
+    )
+
+
+def hash_split(documents_ds, train_pct: int = 90):
+    """(doc_id, split) with split ∈ {train, val}: md5-low64(doc_id) % 100
+    against train_pct. Deterministic, content-free, stable under corpus
+    growth; SQL oracle: md5_number_lower(CAST(doc_id AS VARCHAR)) % 100."""
+    return documents_ds.map_batches(
+        lambda b: _split_batch(b, train_pct),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def quality_filter(documents_ds, min_tokens: int = 20, min_alpha: float = 0.6):
+    """(doc_id, text) rows passing the quality gate — all Arrow kernels:
+    whitespace token count ≥ min_tokens AND alphabetic-character ratio
+    ≥ min_alpha (the same metric definitions as pipelines/text.py
+    quality_batch, so the SQL oracle reuses those expressions)."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_tokens = pc.cast(
+            pc.list_value_length(
+                pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+            ),
+            pa.int64(),
+        )
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        alpha_chars = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(text, r"[^A-Za-z]", "")),
+            pa.int64(),
+        )
+        alpha_ratio = pc.divide(
+            pc.cast(alpha_chars, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+        )
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, min_tokens),
+            pc.greater_equal(alpha_ratio, min_alpha),
+        )
+        return batch.filter(keep).select(["doc_id", "text"])
+
+    return documents_ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def curate_corpus(
+    documents_ds,
+    min_tokens: int = 20,
+    min_alpha: float = 0.6,
+    threshold: float = 0.8,
+):
+    """The composed keep-set: quality gate → near-dup clustering over the
+    SURVIVORS → one representative (component-min doc_id) per cluster.
+    Returns a (doc_id) dataset of kept documents."""
+    survivors = quality_filter(documents_ds, min_tokens, min_alpha)
+    clusters = near_dup_clusters(survivors, threshold=threshold)
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("cluster_rep"), batch.column("doc_id"))
+        return batch.filter(keep).select(["doc_id"])
+
+    return clusters.map_batches(keep_reps, batch_format="pyarrow", zero_copy_batch=True)

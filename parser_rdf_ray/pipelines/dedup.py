@@ -351,13 +351,20 @@ def minhash_lsh_dedup(documents_ds, threshold: float = 0.8,
         text_ref = ray.put(texts)
 
         class Verify:
+            """Lazy-deref task instance (BruteForceScorer pattern): the
+            candidate-text dict — small by the fast-path precondition — is
+            fetched once per worker; an autoscaling actor pool here costs
+            ~2s of cold start to score a few hundred pairs."""
+
             def __init__(self):
-                self.texts = ray.get(text_ref)
+                self.texts = None
 
             def __call__(self, batch: pa.Table) -> pa.Table:
+                if self.texts is None:
+                    self.texts = ray.get(text_ref)
                 return verify_batch(batch, self.texts)
 
-        return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+        return pairs.map_batches(Verify(), batch_format="pyarrow", zero_copy_batch=True)
 
     # scale path: two sorted-run text joins, then verify in-stream
     with_a = _attach_texts(pairs, documents_ds, "doc_a", "text_a", ["doc_a", "doc_b"])
@@ -365,6 +372,67 @@ def minhash_lsh_dedup(documents_ds, threshold: float = 0.8,
         with_a, documents_ds, "doc_b", "text_b", ["doc_a", "doc_b", "text_a"]
     )
     return with_ab.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def near_dup_clusters(documents_ds, threshold: float = 0.8):
+    """Cluster assignment over the near-duplicate graph: every document →
+    the MIN doc_id of its connected component (cluster representative);
+    docs with no near-dup edges map to themselves. The canonical
+    keep-one-per-cluster filter for a training corpus is then simply
+    ``cluster_rep == doc_id``.
+
+    Plan (scale-honest): the verified near-dup pair set (minhash_lsh_dedup
+    — jaccard ≥ threshold) is TINY relative to the corpus by definition,
+    so components are solved driver-side with union-find over the
+    collected edge list (the same small-side pattern as the W4 coreference
+    merge), then the doc_id→rep map is broadcast and applied in one
+    vectorized map_batches pass (index_in/take — no per-row Python). For
+    an adversarial corpus whose edge set itself is huge, swap the driver
+    union-find for iterative min-label propagation (groupby-min over edge
+    endpoints until fixpoint) — O(diameter) shuffles of edge-sized data.
+    """
+    import ray
+
+    pairs = minhash_lsh_dedup(documents_ds, threshold=threshold)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.take_all():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            winner, loser = (ra, rb) if ra < rb else (rb, ra)
+            parent[loser] = winner
+
+    rename = {x: find(x) for x in list(parent)}
+    keys = pa.array(list(rename.keys()), pa.int64())
+    vals = pa.array(list(rename.values()), pa.int64())
+    ref = ray.put((keys, vals))
+
+    class Assign:
+        """Lazy-deref task instance; the rename arrays are one plasma read
+        per worker."""
+
+        def __init__(self):
+            self.keys = None
+            self.vals = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.keys is None:
+                self.keys, self.vals = ray.get(ref)
+            ids = pc.cast(batch.column("doc_id").combine_chunks(), pa.int64())
+            idx = pc.index_in(ids, value_set=self.keys)
+            rep = pc.if_else(pc.is_valid(idx), pc.take(self.vals, idx), ids)
+            return pa.Table.from_arrays([ids, rep], names=["doc_id", "cluster_rep"])
+
+    return documents_ds.map_batches(Assign(), batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- simhash ---------------------------------------------------------------

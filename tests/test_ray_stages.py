@@ -190,6 +190,32 @@ class TestDedupOps:
         assert (1, 2) in got
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_near_dup_clusters_transitive(self, ray_session):
+        """Chain a~b, b~c (but a!~c directly) must still land all three in
+        ONE cluster with rep = min doc_id; unrelated docs stay singletons."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import near_dup_clusters
+
+        base = " ".join(f"tok{i:03d}" for i in range(120))
+        b = base.replace("tok010", "x10").replace("tok020", "x20")
+        c = b.replace("tok030", "x30").replace("tok040", "x40")
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [5, 2, 9, 7],
+                "text": [base, b, c, "entirely different words " * 20],
+            }
+        )
+        # at 0.85: a~b (0.903) and b~c (0.903) are edges but a~c (0.815)
+        # is NOT — the cluster forms only through transitivity
+        out = (
+            near_dup_clusters(ray.data.from_arrow(tbl), threshold=0.85)
+            .to_pandas()
+            .set_index("doc_id")["cluster_rep"]
+        )
+        assert out[5] == out[2] == out[9] == 2  # component min
+        assert out[7] == 7  # singleton maps to itself
+
     def test_simhash_identical_docs(self, ray_session):
         import ray.data
 
@@ -917,6 +943,59 @@ class TestIncrementalMergePruned:
         file_bounds.sort()
         for i in range(len(file_bounds) - 1):
             assert file_bounds[i][1] < file_bounds[i + 1][0], "files overlap"
+
+
+class TestCuration:
+    def test_hash_split_deterministic_and_stable(self, ray_session):
+        """Split assignment must be pure in doc_id: re-running and corpus
+        growth never migrate a document across splits."""
+        import duckdb
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import hash_split
+
+        t1 = pa.Table.from_pydict({"doc_id": [1, 2, 3, 4, 5], "text": ["x"] * 5})
+        t2 = pa.Table.from_pydict({"doc_id": list(range(1, 50)), "text": ["x"] * 49})
+        s1 = hash_split(ray.data.from_arrow(t1)).to_pandas().set_index("doc_id")["split"]
+        s2 = hash_split(ray.data.from_arrow(t2)).to_pandas().set_index("doc_id")["split"]
+        for i in s1.index:
+            assert s1[i] == s2[i]  # growth-stable
+        # SQL contract
+        for i in s1.index:
+            (exp,) = duckdb.execute(
+                "SELECT CASE WHEN md5_number_lower(CAST(? AS VARCHAR)) % 100 < 90 "
+                "THEN 'train' ELSE 'val' END",
+                [int(i)],
+            ).fetchone()
+            assert s1[i] == exp
+
+    def test_curate_drops_low_quality_and_near_dups(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import curate_corpus
+
+        good = " ".join(
+            f"word{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(60)
+        )  # pure-alpha tokens so the alpha gate passes
+        near = good.replace("wordaf", "changed")
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    good,
+                    near,                      # near-dup of 1 → dropped
+                    "short",                   # fails token gate → dropped
+                    "#### 1234 %%%% " * 20,    # fails alpha gate → dropped
+                ],
+            }
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in curate_corpus(
+                ray.data.from_arrow(tbl), min_tokens=20, min_alpha=0.6, threshold=0.8
+            ).take_all()
+        )
+        assert kept == [1]
 
 
 class TestFullTupleRouting:
