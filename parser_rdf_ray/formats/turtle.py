@@ -74,22 +74,14 @@ def _unescape(s: str) -> str:
     return _ESC_RE.sub(repl, s)
 
 
-class _Tok(object):
-    __slots__ = ("kind", "value")
-
-    def __init__(self, kind: str, value: str):
-        self.kind = kind
-        self.value = value
-
-    def __repr__(self):  # pragma: no cover
-        return f"Tok({self.kind},{self.value!r})"
-
-
-def _tokenize(content: str) -> list[_Tok]:
+# Tokens are plain (kind, value) tuples — tuple construction and index
+# access are measurably cheaper than __slots__ objects in this hot loop
+# (the tokenizer is ~60% of Turtle parse time).
+def _tokenize(content: str) -> list[tuple]:
     # finditer iterates matches at C speed; the contiguity check (a gap
     # between consecutive matches = an unmatchable character) preserves the
     # per-position error semantics of an explicit match loop.
-    toks: list[_Tok] = []
+    toks: list[tuple] = []
     append = toks.append
     pos = 0
     for m in _TOKEN_RE.finditer(content):
@@ -104,27 +96,27 @@ def _tokenize(content: str) -> list[_Tok]:
         kind = m.lastgroup
         if kind == "ws":
             continue
-        value = m.group(kind)
+        value = m.group()
         if kind in ("prefixed", "bnode") and value.endswith("."):
             # PN_LOCAL must not end with '.' — the dot terminates the triple.
             # pos moves backwards, which finditer can't replay: hand the rest
             # of the input to the explicit match-at-position loop.
             stripped = value.rstrip(".")
             pos -= len(value) - len(stripped)
-            append(_Tok(kind, stripped))
+            append((kind, stripped))
             return _tokenize_slow(content, toks, pos)
-        append(_Tok(kind, value))
+        append((kind, value))
     if pos != len(content):
         line_no = content.count("\n", 0, pos) + 1
         raise ParseError(
             f"Turtle parsing failed: unexpected character {content[pos]!r} on line {line_no}",
             line_no,
         )
-    append(_Tok("eof", ""))
+    append(("eof", ""))
     return toks
 
 
-def _tokenize_slow(content: str, toks: list[_Tok], pos: int) -> list[_Tok]:
+def _tokenize_slow(content: str, toks: list[tuple], pos: int) -> list[tuple]:
     """Explicit match-at-position loop, used from the point a token was
     '.'-stripped (position moved backwards, which finditer can't replay)."""
     n = len(content)
@@ -140,13 +132,13 @@ def _tokenize_slow(content: str, toks: list[_Tok], pos: int) -> list[_Tok]:
         kind = m.lastgroup
         if kind == "ws":
             continue
-        value = m.group(kind)
+        value = m.group()
         if kind in ("prefixed", "bnode") and value.endswith("."):
             stripped = value.rstrip(".")
             pos -= len(value) - len(stripped)
             value = stripped
-        toks.append(_Tok(kind, value))
-    toks.append(_Tok("eof", ""))
+        toks.append((kind, value))
+    toks.append(("eof", ""))
     return toks
 
 
@@ -159,35 +151,35 @@ class TurtleParser:
         self._bnode_ids = itertools.count(1)
 
     # --- token helpers -------------------------------------------------
-    def _peek(self) -> _Tok:
+    def _peek(self) -> tuple:
         return self.toks[self.i]
 
-    def _next(self) -> _Tok:
+    def _next(self) -> tuple:
         t = self.toks[self.i]
         self.i += 1
         return t
 
     def _expect_punct(self, ch: str) -> None:
         t = self._next()
-        if t.kind != "punct" or t.value != ch:
-            raise ParseError(f"Turtle parsing failed: expected {ch!r}, got {t.value!r}")
+        if t[0] != "punct" or t[1] != ch:
+            raise ParseError(f"Turtle parsing failed: expected {ch!r}, got {t[1]!r}")
 
     def _new_bnode(self) -> str:
         return f"genid{next(self._bnode_ids)}"
 
     # --- grammar -------------------------------------------------------
     def parse(self) -> list[Triple]:
-        while self._peek().kind != "eof":
+        while self._peek()[0] != "eof":
             t = self._peek()
-            if t.kind == "kw" and t.value == "@prefix":
+            if t[0] == "kw" and t[1] == "@prefix":
                 self._next()
                 self._parse_prefix(require_dot=True)
-            elif t.kind == "word" and t.value.upper() == "PREFIX":
+            elif t[0] == "word" and t[1].upper() == "PREFIX":
                 self._next()
                 self._parse_prefix(require_dot=False)
-            elif t.kind == "kw" and t.value == "@base":
+            elif t[0] == "kw" and t[1] == "@base":
                 raise ParseError("Turtle parsing failed: @base is not supported")
-            elif t.kind == "word" and t.value.upper() == "BASE":
+            elif t[0] == "word" and t[1].upper() == "BASE":
                 raise ParseError("Turtle parsing failed: BASE is not supported")
             else:
                 self._parse_triples_block()
@@ -195,16 +187,16 @@ class TurtleParser:
 
     def _parse_prefix(self, require_dot: bool) -> None:
         t = self._next()
-        if t.kind != "prefixed" or not t.value.endswith(":"):
-            raise ParseError(f"Turtle parsing failed: bad prefix declaration near {t.value!r}")
-        prefix = t.value[:-1]
+        if t[0] != "prefixed" or not t[1].endswith(":"):
+            raise ParseError(f"Turtle parsing failed: bad prefix declaration near {t[1]!r}")
+        prefix = t[1][:-1]
         iri_tok = self._next()
-        if iri_tok.kind != "iri":
+        if iri_tok[0] != "iri":
             raise ParseError("Turtle parsing failed: prefix IRI expected")
-        self.prefixes[prefix] = _unescape(iri_tok.value[1:-1])
+        self.prefixes[prefix] = _unescape(iri_tok[1][1:-1])
         if require_dot:
             self._expect_punct(".")
-        elif self._peek().kind == "punct" and self._peek().value == ".":
+        elif self._peek()[0] == "punct" and self._peek()[1] == ".":
             self._next()  # tolerate SPARQL-style PREFIX with stray dot
 
     def _parse_triples_block(self) -> None:
@@ -214,19 +206,19 @@ class TurtleParser:
 
     def _parse_subject(self):
         t = self._next()
-        if t.kind == "iri":
-            return IRI, _unescape(t.value[1:-1])
-        if t.kind == "bnode":
-            return BNODE, t.value[2:]
-        if t.kind == "prefixed":
-            return IRI, self._resolve_prefixed(t.value)
-        if t.kind == "punct" and t.value == "[":
+        if t[0] == "iri":
+            return IRI, _unescape(t[1][1:-1])
+        if t[0] == "bnode":
+            return BNODE, t[1][2:]
+        if t[0] == "prefixed":
+            return IRI, self._resolve_prefixed(t[1])
+        if t[0] == "punct" and t[1] == "[":
             node = self._parse_bnode_property_list()
             return BNODE, node
-        if t.kind == "punct" and t.value == "(":
+        if t[0] == "punct" and t[1] == "(":
             node = self._parse_collection()
             return node
-        raise ParseError(f"Turtle parsing failed: invalid subject {t.value!r}")
+        raise ParseError(f"Turtle parsing failed: invalid subject {t[1]!r}")
 
     def _resolve_prefixed(self, qname: str) -> str:
         prefix, _, local = qname.partition(":")
@@ -239,60 +231,60 @@ class TurtleParser:
             pred = self._parse_predicate()
             while True:
                 self._parse_object(subj_kind, subj, pred)
-                if self._peek().kind == "punct" and self._peek().value == ",":
+                if self._peek()[0] == "punct" and self._peek()[1] == ",":
                     self._next()
                     continue
                 break
-            if self._peek().kind == "punct" and self._peek().value == ";":
+            if self._peek()[0] == "punct" and self._peek()[1] == ";":
                 self._next()
                 # tolerate trailing ';' before '.' or ']'
                 nxt = self._peek()
-                if nxt.kind == "punct" and nxt.value in ".]":
+                if nxt[0] == "punct" and nxt[1] in ".]":
                     return
                 continue
             return
 
     def _parse_predicate(self) -> str:
         t = self._next()
-        if t.kind == "kw" and t.value == "a":
+        if t[0] == "kw" and t[1] == "a":
             return RDF_TYPE
-        if t.kind == "iri":
-            return _unescape(t.value[1:-1])
-        if t.kind == "prefixed":
-            return self._resolve_prefixed(t.value)
-        raise ParseError(f"Turtle parsing failed: invalid predicate {t.value!r}")
+        if t[0] == "iri":
+            return _unescape(t[1][1:-1])
+        if t[0] == "prefixed":
+            return self._resolve_prefixed(t[1])
+        raise ParseError(f"Turtle parsing failed: invalid predicate {t[1]!r}")
 
     def _emit(self, s_kind, s, p, o_kind, o, dt="", lang=""):
         self.triples.append(Triple(s, s_kind, p, o, o_kind, dt, lang, 0))
 
     def _parse_object(self, subj_kind: str, subj: str, pred: str) -> None:
         t = self._next()
-        if t.kind == "iri":
-            self._emit(subj_kind, subj, pred, IRI, _unescape(t.value[1:-1]))
-        elif t.kind == "prefixed":
-            self._emit(subj_kind, subj, pred, IRI, self._resolve_prefixed(t.value))
-        elif t.kind == "bnode":
-            self._emit(subj_kind, subj, pred, BNODE, t.value[2:])
-        elif t.kind in ("str", "lstr3"):
-            quote = 3 if t.kind == "lstr3" else 1
-            lex = _unescape(t.value[quote:-quote])
+        if t[0] == "iri":
+            self._emit(subj_kind, subj, pred, IRI, _unescape(t[1][1:-1]))
+        elif t[0] == "prefixed":
+            self._emit(subj_kind, subj, pred, IRI, self._resolve_prefixed(t[1]))
+        elif t[0] == "bnode":
+            self._emit(subj_kind, subj, pred, BNODE, t[1][2:])
+        elif t[0] in ("str", "lstr3"):
+            quote = 3 if t[0] == "lstr3" else 1
+            lex = _unescape(t[1][quote:-quote])
             lang = ""
             dt = ""
             nxt = self._peek()
-            if nxt.kind == "langtag":
-                lang = self._next().value[1:]
-            elif nxt.kind == "punct" and nxt.value == "^^":
+            if nxt[0] == "langtag":
+                lang = self._next()[1][1:]
+            elif nxt[0] == "punct" and nxt[1] == "^^":
                 self._next()
                 dt_tok = self._next()
-                if dt_tok.kind == "iri":
-                    dt = _unescape(dt_tok.value[1:-1])
-                elif dt_tok.kind == "prefixed":
-                    dt = self._resolve_prefixed(dt_tok.value)
+                if dt_tok[0] == "iri":
+                    dt = _unescape(dt_tok[1][1:-1])
+                elif dt_tok[0] == "prefixed":
+                    dt = self._resolve_prefixed(dt_tok[1])
                 else:
                     raise ParseError("Turtle parsing failed: invalid datatype")
             self._emit(subj_kind, subj, pred, LITERAL, lex, dt, lang)
-        elif t.kind == "num":
-            v = t.value
+        elif t[0] == "num":
+            v = t[1]
             if "e" in v.lower():
                 dt = XSD + "double"
             elif "." in v:
@@ -300,21 +292,21 @@ class TurtleParser:
             else:
                 dt = XSD + "integer"
             self._emit(subj_kind, subj, pred, LITERAL, v, dt)
-        elif t.kind == "kw" and t.value in ("true", "false"):
-            self._emit(subj_kind, subj, pred, LITERAL, t.value, XSD + "boolean")
-        elif t.kind == "punct" and t.value == "[":
+        elif t[0] == "kw" and t[1] in ("true", "false"):
+            self._emit(subj_kind, subj, pred, LITERAL, t[1], XSD + "boolean")
+        elif t[0] == "punct" and t[1] == "[":
             node = self._parse_bnode_property_list()
             self._emit(subj_kind, subj, pred, BNODE, node)
-        elif t.kind == "punct" and t.value == "(":
+        elif t[0] == "punct" and t[1] == "(":
             kind, node = self._parse_collection()
             self._emit(subj_kind, subj, pred, kind, node)
         else:
-            raise ParseError(f"Turtle parsing failed: invalid object {t.value!r}")
+            raise ParseError(f"Turtle parsing failed: invalid object {t[1]!r}")
 
     def _parse_bnode_property_list(self) -> str:
         """'[' already consumed; returns the new bnode label."""
         node = self._new_bnode()
-        if self._peek().kind == "punct" and self._peek().value == "]":
+        if self._peek()[0] == "punct" and self._peek()[1] == "]":
             self._next()
             return node
         self._parse_predicate_object_list(BNODE, node)
@@ -325,7 +317,7 @@ class TurtleParser:
         """'(' already consumed; emits rdf:first/rdf:rest chain, returns
         (kind, node) of the list head (rdf:nil for empty)."""
         items: list[tuple[str, str, str, str]] = []
-        while not (self._peek().kind == "punct" and self._peek().value == ")"):
+        while not (self._peek()[0] == "punct" and self._peek()[1] == ")"):
             sink: list[Triple] = []
             real, self.triples = self.triples, sink
             # reuse object parsing into a temp sink keyed by placeholder
