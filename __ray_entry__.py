@@ -187,7 +187,6 @@ def _q_kg_links(sf_dir: str):
     dict broadcast via ray.put, read once per actor) → global distinct."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray
 
     from parser_rdf_ray.pipelines.kg_build import documents_to_raw_triples, split_errors
     from parser_rdf_ray.stages import canonicalize as canon
@@ -197,14 +196,7 @@ def _q_kg_links(sf_dir: str):
     triples = ok.map_batches(
         canon.canonicalize_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    alias_ref = ray.put(_alias_dict_from_sources(sf_dir))
-    links = triples.map_batches(
-        link_mod.EntityLinker,
-        fn_constructor_args=(alias_ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    links = link_mod.linker_stage(triples, _alias_dict_from_sources(sf_dir))
 
     def to_f64(b: pa.Table) -> pa.Table:
         return b.set_column(
@@ -949,25 +941,14 @@ JOIN sizes sb ON sb.doc_id = co.doc_b
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """
 
-    # Fingerprint recomputed in SQL: the 8-byte window polynomial (base
-    # 257) never exceeds 255·257^7·8 < 2^58, so BIGINT arithmetic is exact
-    # (the pipeline's uint64 "wrap" never actually wraps) and ord() ==
-    # byte value on the ASCII driver corpus. Short-text (<8 chars)
-    # fallback mirrors the pipeline's digest[:16].
-    _fp_powers = [257 ** (7 - i) for i in range(8)]
-    _fp_window = " + ".join(
-        f"ord(substr(text, i + {j}, 1)) * {p}" for j, p in enumerate(_fp_powers)
-    )
-    sql["text_fingerprint"] = f"""
-SELECT doc_id,
-       CASE WHEN length(text) < 8 THEN substr(md5(text), 1, 16)
-            ELSE printf('%016x',
-                 list_min(list_transform(range(1, length(text) - 6),
-                                         i -> {_fp_window})))
-       END AS fingerprint,
-       md5(text) AS digest
-FROM documents
-"""
+    # Fingerprint recomputed in SQL: HUGEINT window polynomial mod 2^64
+    # (single source of truth in pipelines/text.py, property-tested on
+    # arbitrary ASCII in tests/test_sql_contracts.py); ord() == byte value
+    # on the ASCII driver corpus. Short-text (<8 chars) fallback mirrors
+    # the pipeline's digest[:16].
+    from parser_rdf_ray.pipelines.text import FINGERPRINT_SQL
+
+    sql["text_fingerprint"] = FINGERPRINT_SQL
 
     sql["text_bpe"] = (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, "

@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> None:
         help="additionally export the adjacency as N-Triples text (one .nt per block)",
     )
     ap.add_argument(
+        "--export-nq",
+        default=None,
+        metavar="DIR",
+        help="additionally export as N-Quads (named graphs preserved; one .nq per block)",
+    )
+    ap.add_argument(
         "--num-cpus",
         type=int,
         default=None,
@@ -119,6 +125,10 @@ def main(argv: list[str] | None = None) -> None:
         from parser_rdf_ray.sources.ntriples_sink import write_ntriples
 
         write_ntriples(adjacency_ds, args.export_nt)
+    if args.export_nq:
+        from parser_rdf_ray.sources.ntriples_sink import write_nquads
+
+        write_nquads(adjacency_ds, args.export_nq)
 
     t2 = time.time()
     err_proj = errors.select_columns(["doc_id", "format", "error_type", "obj", "line_no"])

@@ -100,16 +100,7 @@ def build_kg(
 
     edges: list[tuple[str, str]] = []
     if alias_dict:
-        import ray
-
-        alias_ref = ray.put(alias_dict)
-        links = triples.map_batches(
-            link_mod.EntityLinker,
-            fn_constructor_args=(alias_ref,),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=(1, 8),
-        )
+        links = link_mod.linker_stage(triples, alias_dict)
         edges.extend((r["mention_uri"], r["canonical_uri"]) for r in links.take_all())
     if resolve_sameas:
         edges.extend(link_mod.sameas_edges(triples))

@@ -160,16 +160,42 @@ def langid(documents_ds):
 _FP_POWERS = None
 
 
+# The DuckDB expression recomputing one window's polynomial hash exactly
+# (i is the 1-based window start over a `text` column). The leading term
+# ord·257^7 can exceed INT64 (byte 125 '}' already overflows), so the sum
+# runs in HUGEINT with an explicit mod 2^64 — the same wrap semantics as
+# the pipeline's uint64 arithmetic. Single source of truth for the driver
+# oracle and the SQL-contract property tests.
+_FP_POWERS_INT = [257 ** (7 - i) for i in range(8)]
+FINGERPRINT_SQL_WINDOW = "CAST((" + " + ".join(
+    f"CAST(ord(substr(text, i + {j}, 1)) AS HUGEINT) * {p}"
+    for j, p in enumerate(_FP_POWERS_INT)
+) + ") % 18446744073709551616 AS UBIGINT)"
+
+# hex via to_hex/lpad: printf('%x') rejects UBIGINT values above INT64
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(text) < 8 THEN substr(md5(text), 1, 16)
+            ELSE lpad(lower(to_hex(
+                 list_min(list_transform(range(1, length(text) - 6),
+                                         i -> {FINGERPRINT_SQL_WINDOW})))), 16, '0')
+       END AS fingerprint,
+       md5(text) AS digest
+FROM documents
+"""
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Rolling-hash document fingerprint: min of 8-byte window polynomial
-    hashes (winnowing-style, base 257 — window values stay < 2^58 =
-    255·257^7·8, so uint64 never wraps and the hashes vectorize as one
-    sliding-window multiply-add per doc), plus a full-content md5 digest.
+    hashes (winnowing-style, base 257, uint64 wrap-around — ASCII inputs
+    stay below 2^64 but the definition is mod-2^64 so arbitrary bytes are
+    well-defined too; vectorizes as one sliding-window multiply-add per
+    doc), plus a full-content md5 digest.
 
-    Both columns are SQL-reproducible (the driver oracle recomputes them):
-    digest = DuckDB md5(text); fingerprint = printf('%016x',
-    list_min(window polynomial over ord())) — exact on ASCII corpora
-    (byte == codepoint), which the driver documents tables are."""
+    Both columns are SQL-reproducible (the driver oracle recomputes them
+    via FINGERPRINT_SQL above): digest = DuckDB md5(text); fingerprint =
+    the HUGEINT-mod-2^64 window polynomial over ord() — exact on ASCII
+    corpora (byte == codepoint), which the driver documents tables are."""
     import numpy as np
 
     global _FP_POWERS

@@ -51,10 +51,9 @@ def _s(batch: pa.Table, name: str) -> pa.Array:
     return col
 
 
-def serialize_ntriples_batch(batch: pa.Table) -> pa.Table:
-    """Adjacency rows → one 'line' string column of N-Triples statements."""
-    subj = _s(batch, "subj")
-    pred = _s(batch, "pred")
+def _object_terms(batch: pa.Table) -> pa.Array:
+    """Vectorized object-term serialization (shared by the .nt / .nq
+    sinks): IRIs as <iri>, literals quoted+escaped with @lang / ^^<dt>."""
     obj = _s(batch, "obj")
     obj_kind = _s(batch, "obj_kind")
     dt = _s(batch, "obj_datatype")
@@ -72,10 +71,14 @@ def serialize_ntriples_batch(batch: pa.Table) -> pa.Table:
     )
     literal_term = pc.binary_join_element_wise(quoted, lang_suffix, dt_suffix, "")
     iri_term = pc.binary_join_element_wise("<", obj, ">", "")
-    obj_term = pc.if_else(pc.equal(obj_kind, "literal"), literal_term, iri_term)
+    return pc.if_else(pc.equal(obj_kind, "literal"), literal_term, iri_term)
 
+
+def serialize_ntriples_batch(batch: pa.Table) -> pa.Table:
+    """Adjacency rows → one 'line' string column of N-Triples statements."""
     line = pc.binary_join_element_wise(
-        "<", subj, "> <", pred, "> ", obj_term, " .", ""
+        "<", _s(batch, "subj"), "> <", _s(batch, "pred"), "> ",
+        _object_terms(batch), " .", "",
     )
     return pa.Table.from_arrays([line], names=["line"])
 
@@ -106,6 +109,79 @@ def write_ntriples(adjacency_ds, out_dir: str) -> None:
         serialize_ntriples_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     lines.write_datasink(NTriplesDatasink(out_dir))
+
+
+# --- N-Quads export ---------------------------------------------------------
+
+
+def serialize_nquads_batch(batch: pa.Table) -> pa.Table:
+    """Adjacency rows → N-Quads lines: the N-Triples serialization plus a
+    graph-label term for rows in a NAMED graph. Default-graph rows
+    (graph == '_:default') are emitted as plain triples — the N-Quads
+    default graph has no label. This is the export that round-trips the
+    engine's full named-graph state (W3 full); plain .nt export flattens
+    all graphs into one."""
+    graph = _s(batch, "graph")
+    named = pc.invert(pc.equal(graph, "_:default"))
+    graph_part = pc.if_else(
+        named, pc.binary_join_element_wise(" <", graph, ">", ""), ""
+    )
+    line = pc.binary_join_element_wise(
+        "<", _s(batch, "subj"), "> <", _s(batch, "pred"), "> ",
+        _object_terms(batch), graph_part, " .", "",
+    )
+    return pa.Table.from_arrays([line], names=["line"])
+
+
+class NQuadsDatasink(BlockBasedFileDatasink):
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, file_format="nq", **kwargs)
+
+    def write_block_to_file(self, block: BlockAccessor, file) -> None:
+        NTriplesDatasink.write_block_to_file(self, block, file)
+
+
+def write_nquads(adjacency_ds, out_dir: str) -> None:
+    """Distributed N-Quads export (graph column preserved)."""
+    lines = adjacency_ds.map_batches(
+        serialize_nquads_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    lines.write_datasink(NQuadsDatasink(out_dir))
+
+
+_NQ_GRAPH_RE = None
+
+
+def parse_nquads(content: str):
+    """Inverse of serialize_nquads_batch (round-trip contract): each line
+    is parsed with the strict N-Triples tokenizer; a 4-term line first has
+    its graph label split off. Returns a list of (Triple, graph) with
+    '_:default' for label-less lines."""
+    global _NQ_GRAPH_RE
+    if _NQ_GRAPH_RE is None:
+        import re
+
+        _NQ_GRAPH_RE = re.compile(r"^(.*\S)\s+<([^<>\s]+)>\s*\.\s*$")
+
+    from parser_rdf_ray.formats import ntriples
+    from parser_rdf_ray.model import ParseError
+
+    out = []
+    for raw in content.split("\n"):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        try:
+            triples = ntriples.parse(line)
+            graph = "_:default"
+        except ParseError:
+            m = _NQ_GRAPH_RE.match(line)
+            if not m:
+                raise
+            triples = ntriples.parse(m.group(1) + " .")
+            graph = m.group(2)
+        out.extend((t, graph) for t in triples)
+    return out
 
 
 # --- Turtle export ----------------------------------------------------------

@@ -21,6 +21,35 @@ from parser_rdf_ray.vocab import OWL
 
 OWL_SAMEAS = OWL + "sameAs"
 
+# Below this many entries, broadcast dict state ships inside a task-pool
+# fn instance (pickled per task — cheap for small dicts, and no actor
+# cold-start, which costs ~2s per autoscaling pool at sandbox scale).
+# Above it, the state goes through ray.put + an actor pool so each actor
+# deserializes it ONCE (per-task unpickling of a GB-scale dict would
+# dominate). Same reasoning as similarity.BruteForceScorer, which stays a
+# task pool at any size because numpy plasma reads are zero-copy — python
+# dicts are not.
+SMALL_STATE_MAX_ENTRIES = 65_536
+
+
+def linker_stage(triples_ds, alias_dict: dict):
+    """EntityLinker wired with the right compute strategy for the alias
+    dict's size (task instance when small, actor pool when large)."""
+    if len(alias_dict) <= SMALL_STATE_MAX_ENTRIES:
+        return triples_ds.map_batches(
+            EntityLinker(alias_dict), batch_format="pyarrow", zero_copy_batch=True
+        )
+    import ray
+
+    alias_ref = ray.put(alias_dict)
+    return triples_ds.map_batches(
+        EntityLinker,
+        fn_constructor_args=(alias_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
 LINKS_SCHEMA = pa.schema(
     [
         ("mention_uri", pa.string()),
@@ -172,31 +201,57 @@ def sameas_edges(triples_ds) -> list[tuple[str, str]]:
     return [(r["subj"], r["obj"]) for r in small.take_all()]
 
 
-def apply_rename(ds, rename_map: dict[str, str]):
-    """Vectorized rename of subj/obj via a broadcast map: index_in against
-    the rename-key array, take the replacement where it hits, keep the
-    original elsewhere — zero per-row Python. The key/value arrays are
-    built once per actor from the ray.put'd dict."""
-    import ray
+class _Renamer:
+    """Vectorized subj/obj rename: index_in against the rename-key array,
+    take the replacement where it hits, keep the original elsewhere —
+    zero per-row Python. Key/value arrays are built lazily once per actor
+    (ref mode) or ship pre-built inside the task fn (small-dict mode)."""
 
+    def __init__(self, renames_or_ref):
+        self._src = renames_or_ref
+        self.keys = None
+        self.vals = None
+
+    def _ensure(self):
+        if self.keys is not None:
+            return
+        renames = self._src
+        if not isinstance(renames, dict):
+            import ray
+
+            renames = ray.get(renames)
+        self.keys = pa.array(list(renames.keys()), pa.string())
+        self.vals = pa.array(list(renames.values()), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        self._ensure()
+        for col in ("subj", "obj"):
+            c = pc.cast(batch.column(col).combine_chunks(), pa.string())
+            idx = pc.index_in(c, value_set=self.keys)
+            new = pc.if_else(pc.is_valid(idx), pc.take(self.vals, idx), c)
+            batch = batch.set_column(batch.column_names.index(col), col, new)
+        return batch
+
+
+def apply_rename(ds, rename_map: dict[str, str]):
+    """Broadcast rename with size-adaptive compute (see
+    SMALL_STATE_MAX_ENTRIES): small maps ride the task fn, large maps go
+    ray.put → actor pool so each actor deserializes once."""
     if not rename_map:
         return ds
+    if len(rename_map) <= SMALL_STATE_MAX_ENTRIES:
+        return ds.map_batches(
+            _Renamer(rename_map), batch_format="pyarrow", zero_copy_batch=True
+        )
+    import ray
+
     ref = ray.put(rename_map)
-
-    class Renamer:
-        def __init__(self):
-            renames = ray.get(ref)
-            self.keys = pa.array(list(renames.keys()), pa.string())
-            self.vals = pa.array(list(renames.values()), pa.string())
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            for col in ("subj", "obj"):
-                c = pc.cast(batch.column(col).combine_chunks(), pa.string())
-                idx = pc.index_in(c, value_set=self.keys)
-                new = pc.if_else(pc.is_valid(idx), pc.take(self.vals, idx), c)
-                batch = batch.set_column(batch.column_names.index(col), col, new)
-            return batch
-
-    return ds.map_batches(Renamer, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(
+        _Renamer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

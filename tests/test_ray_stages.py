@@ -411,27 +411,20 @@ class TestTextOps:
     def test_fingerprint_matches_duckdb(self):
         """Both fingerprint columns must be bit-for-bit SQL-reproducible:
         digest = md5(text); fingerprint = min 8-byte-window polynomial
-        (base 257, no uint64 wrap possible) formatted %016x."""
+        (base 257, HUGEINT mod 2^64 — '}~' bytes overflow plain BIGINT)
+        formatted %016x. The SQL is the shared FINGERPRINT_SQL constant."""
         import duckdb
 
-        from parser_rdf_ray.pipelines.text import fingerprint_batch
+        from parser_rdf_ray.pipelines.text import FINGERPRINT_SQL, fingerprint_batch
 
-        texts = ["the quick brown fox jumps over the lazy dog", "tiny", "x" * 100]
+        texts = ["the quick brown fox jumps over the lazy dog", "tiny", "}~" * 50]
         tbl = pa.Table.from_pydict({"doc_id": [0, 1, 2], "text": texts})
         out = fingerprint_batch(tbl)
-        powers = [257 ** (7 - i) for i in range(8)]
-        window = " + ".join(
-            f"ord(substr(text, i + {j}, 1)) * {p}" for j, p in enumerate(powers)
+        sql = FINGERPRINT_SQL.replace(
+            "FROM documents", "FROM (SELECT 0 AS doc_id, ? AS text)"
         )
         for i, t in enumerate(texts):
-            fp, dg = duckdb.execute(
-                f"""SELECT CASE WHEN length(text) < 8 THEN substr(md5(text), 1, 16)
-                        ELSE printf('%016x', list_min(list_transform(
-                             range(1, length(text) - 6), i -> {window}))) END,
-                        md5(text)
-                 FROM (SELECT ? AS text)""",
-                [t],
-            ).fetchone()
+            _doc, fp, dg = duckdb.execute(sql, [t]).fetchone()
             assert out.column("fingerprint")[i].as_py() == fp
             assert out.column("digest")[i].as_py() == dg
 
@@ -724,6 +717,38 @@ class TestNTriplesSink:
         assert line == (
             '<http://ex.org/s> <http://ex.org/p> "say \\"hi\\"\\\\\\n\\tdone"@en .'
         )
+
+
+class TestNQuadsSink:
+    def test_roundtrip_preserves_named_graphs(self, ray_session, docs, tmp_path):
+        """The .nq export must carry the graph column: default-graph rows
+        as plain triples, named-graph rows with their label, and
+        parse_nquads(files) must reproduce EXACTLY the adjacency rows
+        (triple + graph), which plain .nt export cannot."""
+        import pathlib
+
+        from parser_rdf_ray.pipelines.kg_build import build_kg
+        from parser_rdf_ray.sources.ntriples_sink import parse_nquads, write_nquads
+
+        adjacency, _ = build_kg(docs)
+        out = tmp_path / "nq"
+        write_nquads(adjacency, str(out))
+
+        parsed = []
+        for f in sorted(pathlib.Path(out).glob("*.nq")):
+            parsed.extend(parse_nquads(f.read_text()))
+        got = {
+            (t.subj, t.pred, t.obj, t.obj_kind, t.obj_datatype, t.obj_lang, g)
+            for t, g in parsed
+        }
+        a = adjacency.to_pandas()
+        expected = set(
+            zip(a.subj, a.pred, a.obj, a.obj_kind, a.obj_datatype, a.obj_lang, a.graph)
+        )
+        assert got == expected
+        graphs = {g for *_rest, g in got}
+        assert "_:default" in graphs
+        assert any(g.startswith("http://ex.org/graph/") for g in graphs)
 
 
 class TestTurtleSink:

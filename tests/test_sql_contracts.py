@@ -25,18 +25,11 @@ _ascii_text = st.text(
     max_size=300,
 )
 
-_FP_POWERS = [257 ** (7 - i) for i in range(8)]
-_FP_WINDOW = " + ".join(
-    f"ord(substr(text, i + {j}, 1)) * {p}" for j, p in enumerate(_FP_POWERS)
+from parser_rdf_ray.pipelines.text import FINGERPRINT_SQL
+
+_FP_SQL = FINGERPRINT_SQL.replace(
+    "FROM documents", "FROM (SELECT 0 AS doc_id, ? AS text)"
 )
-_FP_SQL = f"""
-SELECT CASE WHEN length(text) < 8 THEN substr(md5(text), 1, 16)
-            ELSE printf('%016x', list_min(list_transform(
-                 range(1, length(text) - 6), i -> {_FP_WINDOW})))
-       END,
-       md5(text)
-FROM (SELECT ? AS text)
-"""
 
 _SIM_BITS = " + ".join(
     f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -59,7 +52,7 @@ def test_fingerprint_sql_contract(text):
     from parser_rdf_ray.pipelines.text import fingerprint_batch
 
     out = fingerprint_batch(pa.Table.from_pydict({"doc_id": [0], "text": [text]}))
-    fp, dg = duckdb.execute(_FP_SQL, [text]).fetchone()
+    _doc, fp, dg = duckdb.execute(_FP_SQL, [text]).fetchone()
     assert out.column("fingerprint")[0].as_py() == fp
     assert out.column("digest")[0].as_py() == dg
 
