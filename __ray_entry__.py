@@ -457,6 +457,12 @@ def _q_knn_ivf(sf_dir: str):
     return topk.select_columns(["query_id", "vec_id"])
 
 
+def _q_embedding_centroids(sf_dir: str):
+    from parser_rdf_ray.pipelines.similarity import label_centroids
+
+    return label_centroids(_embeddings(sf_dir))
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from parser_rdf_ray.pipelines.similarity import embedding_near_dup_exact
 
@@ -630,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_centroids": _q_embedding_centroids,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -990,6 +997,16 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    )
+
+    # per-label mean embedding, long form (label, dim, value); the partial
+    # sums are float64 in a fixed (stable-sorted) order on both sides, and
+    # rounding to 6 decimals absorbs the remaining summation-order noise
+    sql["embedding_centroids"] = (
+        "SELECT CAST(label AS BIGINT) AS label, CAST(t.i AS BIGINT) AS dim, "
+        "ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS value "
+        "FROM embeddings CROSS JOIN range(1, 65) t(i) "
+        "GROUP BY label, t.i"
     )
 
     # IVF/LSH ANN verified END-TO-END in SQL: the seeded hyperplanes are

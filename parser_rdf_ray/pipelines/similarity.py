@@ -228,6 +228,63 @@ def embedding_near_dup_exact(embeddings_ds, threshold: float = 0.4):
     return ray.data.from_arrow_refs(tiles)
 
 
+def label_centroids(embeddings_ds, dim: int = 64, round_to: int = 6):
+    """Per-label mean embedding (the k-means M-step / class-prototype
+    aggregate), emitted LONG-form as (label, dim, value) rows so the SQL
+    oracle can recompute it with a plain AVG.
+
+    Plan: one vectorized map_batches computes per-(batch, label) partial
+    (sum-vector, count) via np.add.reduceat over label-sorted rows — the
+    combiner — then a groupby over the SMALL label set merges partials
+    (map_groups is fine here: group count == label cardinality, not row
+    count). Only (labels × dim) doubles ever shuffle, never the vectors.
+    """
+    def partials(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.list_(pa.float64())),
+                    pa.array([], pa.int64()),
+                ],
+                names=["label", "vec_sum", "n"],
+            )
+        order = np.argsort(labels, kind="stable")
+        labels, emb = labels[order], emb[order]
+        starts = np.flatnonzero(np.diff(labels, prepend=labels[0] - 1))
+        sums = np.add.reduceat(emb, starts, axis=0)
+        counts = np.diff(np.append(starts, len(labels)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(labels[starts], pa.int64()),
+                pa.array(list(sums), pa.list_(pa.float64())),
+                pa.array(counts, pa.int64()),
+            ],
+            names=["label", "vec_sum", "n"],
+        )
+
+    part = embeddings_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(group: pa.Table) -> pa.Table:
+        label = group.column("label")[0].as_py()
+        sums = np.array(group.column("vec_sum").to_pylist(), dtype=np.float64)
+        n = int(np.sum(group.column("n").to_numpy()))
+        mean = np.round(sums.sum(axis=0) / n, round_to)
+        dims = np.arange(1, len(mean) + 1)
+        return pa.Table.from_arrays(
+            [
+                pa.array([label] * len(mean), pa.int64()),
+                pa.array(dims, pa.int64()),
+                pa.array(mean, pa.float64()),
+            ],
+            names=["label", "dim", "value"],
+        )
+
+    return part.groupby("label").map_groups(combine, batch_format="pyarrow")
+
+
 def knn_ivf(embeddings_ds, queries: dict[int, list[float]], k: int = 10, n_bits: int = 8):
     """IVF/LSH-bucketed ANN: score only the buckets the queries fall in
     (plus 1-bit-flip neighbors for recall). The scale path when brute force

@@ -303,6 +303,35 @@ class TestSimilarity:
             assert rows.iloc[0].vec_id == qid  # self-match at cosine 1.0
             assert rows.iloc[0].cosine == pytest.approx(1.0)
 
+    def test_label_centroids_match_numpy(self, ray_session):
+        """Partial-sum combiner over multiple blocks must equal a plain
+        per-label mean, rounded identically."""
+        import numpy as np
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import label_centroids
+
+        rng = np.random.RandomState(3)
+        n, dim = 200, 8
+        labels = rng.randint(0, 4, size=n)
+        mat = rng.normal(size=(n, dim))
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(n)),
+                "label": [int(x) for x in labels],
+                "embedding": [list(map(float, v)) for v in mat],
+            }
+        )
+        out = (
+            label_centroids(ray.data.from_arrow(tbl).repartition(5), dim=dim)
+            .to_pandas()
+            .set_index(["label", "dim"])["value"]
+        )
+        for lb in range(4):
+            expected = np.round(mat[labels == lb].mean(axis=0), 6)
+            for d in range(dim):
+                assert out[(lb, d + 1)] == expected[d]
+
     def test_near_dup_exact_distributed_matches_numpy(self, ray_session):
         """The tiled block-pair sweep (no driver take_all) must equal the
         single-process all-pairs reference at any block decomposition."""
