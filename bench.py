@@ -114,21 +114,28 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "kg_triples",
         "kg_classes",
         "kg_prefixes",
+        "kg_graphs",
         "kg_links",
         "kg_resolved",
         "kg_entities",
         "dedup_exact",
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_clusters",
+        "corpus_curation",
         "text_quality",
         "text_langid",
+        "text_fingerprint",
         "knn_cosine",
+        "knn_ivf",
         "embedding_near_dup",
+        "embedding_centroids",
         "media_features",
         "media_frames",
         "rel_lineitem_agg",
         "rel_join_topk",
         "rel_events_window",
+        "rel_sessions",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -498,6 +498,37 @@ class TestNgramJaccard:
 
 
 class TestKnnIvf:
+    def test_recall_vs_brute_force(self, ray_session):
+        """IVF recall@10 vs exact brute force, pinned RELATIVE to the
+        candidate fraction scanned. The sf embeddings are isotropic
+        gaussians — the LSH-hostile case (neighbors sit at ~60° where
+        hyperplane buckets have little gradient), so absolute recall is
+        data-bounded; what the index must deliver is concentration: recall
+        well above the fraction of the corpus it scans (a random scan
+        gives recall == fraction). Measured ~0.38 recall at ~4% scanned
+        (≈9× random); we pin ≥ 3× with the self-vector always found."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import knn_brute_force, knn_ivf
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        n_total = emb.count()
+        queries = {r["vec_id"]: r["embedding"] for r in emb.take(5)}
+        exact = knn_brute_force(emb, queries, k=10).to_pandas()
+        approx = knn_ivf(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet"), queries, k=10
+        ).to_pandas()
+        # probe set at 8 bits + 1-bit flips covers ≤ 9/256 of bucket space
+        max_frac = 9 / 256
+        recalls = []
+        for qid in queries:
+            e = set(exact[exact.query_id == qid].vec_id)
+            a = set(approx[approx.query_id == qid].vec_id)
+            assert qid in a  # the query vector itself always collides
+            recalls.append(len(e & a) / len(e))
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= 3 * max_frac, (mean_recall, recalls, n_total)
+
     def test_self_retrieved(self, ray_session):
         import ray.data
 
