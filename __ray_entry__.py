@@ -432,6 +432,12 @@ def _q_knn_cosine(sf_dir: str):
     return topk.select_columns(["query_id", "vec_id"])
 
 
+def _q_text_top_ngrams(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import top_ngrams
+
+    return top_ngrams(_flat_docs(sf_dir), n=1, k=100)
+
+
 def _q_text_bpe(sf_dir: str):
     from parser_rdf_ray.pipelines.text import bpe_token_count_batch
 
@@ -574,6 +580,13 @@ def _q_rel_join_topk(sf_dir: str):
     return orders_join_topk(sf_dir, k=10)
 
 
+def _q_rel_topk_per_group(sf_dir: str):
+    # grouped top-k = distributed row_number() OVER (PARTITION BY ...) <= k
+    from parser_rdf_ray.pipelines.relational import topk_orders_per_segment
+
+    return topk_orders_per_segment(sf_dir, k=3)
+
+
 def _q_rel_events_window(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -631,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_bpe": _q_text_bpe,
+        "text_top_ngrams": _q_text_top_ngrams,
         "corpus_split": _q_corpus_split,
         "corpus_curation": _q_corpus_curation,
         "knn_cosine": _q_knn_cosine,
@@ -642,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "rel_lineitem_agg": _q_rel_lineitem_agg,
         "rel_join_topk": _q_rel_join_topk,
+        "rel_topk_per_group": _q_rel_topk_per_group,
         "rel_events_window": _q_rel_events_window,
         "rel_sessions": _q_rel_sessions,
     }
@@ -957,6 +972,17 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 
     sql["text_fingerprint"] = FINGERPRINT_SQL
 
+    # vocabulary mining: top-k tokens by total occurrence; the LIMIT
+    # boundary is deterministic on both sides (count desc, gram asc)
+    sql["text_top_ngrams"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS gram
+  FROM documents
+)
+SELECT gram, COUNT(*) AS count FROM toks
+GROUP BY gram ORDER BY count DESC, gram LIMIT 100
+"""
+
     sql["text_bpe"] = (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
         r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens "
@@ -1100,6 +1126,13 @@ FROM s GROUP BY user_id, sid
         "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+
+    sql["rel_topk_per_group"] = (
+        "SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "QUALIFY row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
     )
 
     sql["rel_events_window"] = (

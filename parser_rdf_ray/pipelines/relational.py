@@ -141,6 +141,53 @@ def orders_join_topk(sf_dir: str, k: int = 10):
     return final
 
 
+def topk_orders_per_segment(sf_dir: str, k: int = 3):
+    """Grouped top-k (the distributed window function): top-k orders by
+    totalprice per customer market segment. Broadcast join for the
+    segment column, then stages/groups.grouped_topk — a vectorized
+    per-batch combiner bounds what shuffles to k × n_blocks rows per
+    segment before ONE key sort finishes. Deterministic ties by
+    o_orderkey ascending."""
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import grouped_topk
+
+    @ray.remote
+    def seg_dict() -> dict:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        return dict(zip(t.column("c_custkey").to_pylist(), t.column("c_mktsegment").to_pylist()))
+
+    ref = seg_dict.remote()
+
+    class AttachSegment:
+        def __init__(self):
+            self.keys = None
+            self.vals = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.keys is None:
+                import ray as _ray
+
+                segs = _ray.get(ref)
+                self.keys = pa.array(list(segs.keys()), pa.int64())
+                self.vals = pa.array(list(segs.values()), pa.string())
+            idx = pc.index_in(pc.cast(batch.column("o_custkey"), pa.int64()), value_set=self.keys)
+            seg = pc.take(self.vals, idx)
+            return batch.append_column("c_mktsegment", seg)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    with_seg = orders.map_batches(AttachSegment(), batch_format="pyarrow", zero_copy_batch=True)
+    top = grouped_topk(
+        with_seg, ["c_mktsegment"], "o_totalprice", k, tie_cols=["o_orderkey"]
+    )
+    return top.select_columns(["c_mktsegment", "o_orderkey", "o_custkey", "o_totalprice"])
+
+
 def events_window_agg(sf_dir: str):
     """Windowed/streaming-style aggregate: per (event_type, hour-of-day)
     count + value sum — event-time bucketing as a vectorized map + groupby

@@ -157,6 +157,66 @@ def langid(documents_ds):
     )
 
 
+def top_ngrams(documents_ds, n: int = 1, k: int = 100):
+    """Corpus-level top-k word n-grams by total occurrence (vocabulary
+    mining). Tokenization matches the dedup pipelines (lower, split \\W+,
+    drop empties) so the SQL oracle re-derives identical grams.
+
+    Plan: per-batch vectorized counting (polars group_by over the
+    flattened gram column — the combiner) → groupby(gram).sum of the
+    partial counts (only vocabulary-sized rows shuffle, never token
+    streams) → per-block partial top-k → final sort+limit over ≤
+    k × n_blocks rows. Ties deterministic: count desc, gram asc."""
+    import re as _re
+
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    token_re = _re.compile(r"\W+")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = [x for x in token_re.split(t.lower()) if x]
+            if n == 1:
+                grams.extend(toks)
+            elif len(toks) >= n:
+                grams.extend(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        if not grams:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["gram", "count"],
+            )
+        vc = pl.Series("gram", grams).value_counts()
+        return pa.Table.from_arrays(
+            [
+                vc.get_column("gram").to_arrow().cast(pa.string()),
+                vc.get_column("count").to_arrow().cast(pa.int64()),
+            ],
+            names=["gram", "count"],
+        )
+
+    counts = documents_ds.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = counts.groupby("gram").aggregate(Sum("count"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        batch = pa.Table.from_arrays(
+            [batch.column("gram"), pc.cast(batch.column("sum(count)"), pa.int64())],
+            names=["gram", "count"],
+        )
+        order = batch.sort_by([("count", "descending"), ("gram", "ascending")])
+        return order.slice(0, min(k, order.num_rows))
+
+    partial_top = totals.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return partial_top.sort(
+        ["count", "gram"], descending=[True, False]
+    ).limit(k)
+
+
 _FP_POWERS = None
 
 

@@ -63,6 +63,49 @@ def grouped_run_map(ds, key_cols: list[str], run_fn, *, schema: pa.Schema, min_r
     )
 
 
+def grouped_topk(ds, key_cols: list[str], order_col: str, k: int,
+                 descending: bool = True, tie_cols: list[str] | None = None):
+    """Top-k rows per key group, scalably: a per-batch vectorized combiner
+    keeps ≤ k candidates per key per batch (so at most k × n_blocks rows
+    per key ever shuffle), then ONE key-sort co-partitions each key's
+    candidates and a per-run sort/slice finishes. No map_groups dispatch;
+    the per-run Python work is bounded by the combiner (runs are small by
+    construction). Deterministic: ties break by tie_cols ascending.
+
+    This is the distributed form of the window function
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_col) <= k``.
+    """
+    tie_cols = tie_cols or []
+    sort_keys = (
+        [(c, "ascending") for c in key_cols]
+        + [(order_col, "descending" if descending else "ascending")]
+        + [(c, "ascending") for c in tie_cols]
+    )
+
+    def per_batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        batch = batch.sort_by(sort_keys)
+        starts, ends = run_spans(batch, key_cols)
+        take = np.concatenate(
+            [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+        )
+        return batch.take(pa.array(take))
+
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    combined = ds.map_batches(
+        per_batch_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    # key-only sort: equal keys co-partitioned (adding order_col to the
+    # sort key would NOT co-partition a key's candidates)
+    combined = combined.sort(key_cols)
+    return combined.map_batches(
+        per_batch_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def sorted_distinct(ds, cols: list[str]):
     """Global distinct-on(cols) keeping one arbitrary row per key, in ONE
     exchange: sort on cols, then take the first row of each run per block

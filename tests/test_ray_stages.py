@@ -696,6 +696,34 @@ class TestGroupsUtil:
         got = dict(zip(out.k, out.n))
         assert got == {"a": 3, "b": 2}  # c is a singleton
 
+    def test_grouped_topk(self, ray_session):
+        """Combiner + one exchange must equal the window function
+        row_number() OVER (PARTITION BY key ORDER BY val DESC, id) <= k,
+        including keys whose rows straddle many input blocks."""
+        import random
+
+        import ray.data
+
+        from parser_rdf_ray.stages.groups import grouped_topk
+
+        rng = random.Random(5)
+        rows = [
+            {"key": f"k{i % 7}", "val": rng.random(), "id": i} for i in range(2000)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(13)
+        out = grouped_topk(ds, ["key"], "val", 4, tie_cols=["id"]).to_pandas()
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        expected = (
+            df.sort_values(["key", "val", "id"], ascending=[True, False, True])
+            .groupby("key")
+            .head(4)
+        )
+        got = set(zip(out.key, out.id))
+        assert got == set(zip(expected.key, expected.id))
+        assert len(out) == 7 * 4
+
     def test_sorted_distinct(self, ray_session):
         import ray.data
 
