@@ -874,15 +874,12 @@ SELECT doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc_id
 
     # SimHash verified END-TO-END in SQL: token hash = md5_number_lower
     # (== the pipeline's md5-low64, pipelines/dedup.py:_md5_low64), per-doc
-    # 64-bit simhash rebuilt via 64 sign-of-weighted-bit-sum aggregates,
+    # 64-bit simhash rebuilt via the shared SIMHASH_SQL_BITS expression,
     # then the exact all-pairs Hamming≤3 join over bit_count(xor). Valid
     # as an equality oracle because 4×16-bit banding is pigeonhole-exact
-    # at Hamming ≤ 3.
-    _sim_bits = " + ".join(
-        f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
-        for b in range(64)
-    )
+    # at Hamming ≤ 3 (and driver-corpus buckets are far below BUCKET_CAP).
+    from parser_rdf_ray.pipelines.dedup import SIMHASH_SQL_BITS as _sim_bits
+
     sql["dedup_simhash"] = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t

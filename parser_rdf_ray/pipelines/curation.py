@@ -47,31 +47,18 @@ def hash_split(documents_ds, train_pct: int = 90):
 
 
 def quality_filter(documents_ds, min_tokens: int = 20, min_alpha: float = 0.6):
-    """(doc_id, text) rows passing the quality gate — all Arrow kernels:
-    whitespace token count ≥ min_tokens AND alphabetic-character ratio
-    ≥ min_alpha (the same metric definitions as pipelines/text.py
-    quality_batch, so the SQL oracle reuses those expressions)."""
+    """(doc_id, text) rows passing the quality gate: whitespace token
+    count ≥ min_tokens AND alphabetic-character ratio ≥ min_alpha — the
+    SHARED metric definitions from pipelines/text.py (n_tokens_of /
+    alpha_ratio_of), so the curation SQL oracle and quality_batch can
+    never drift apart."""
+    from parser_rdf_ray.pipelines.text import alpha_ratio_of, n_tokens_of
 
     def gate(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        n_tokens = pc.cast(
-            pc.list_value_length(
-                pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-            ),
-            pa.int64(),
-        )
-        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-        alpha_chars = pc.cast(
-            pc.utf8_length(pc.replace_substring_regex(text, r"[^A-Za-z]", "")),
-            pa.int64(),
-        )
-        alpha_ratio = pc.divide(
-            pc.cast(alpha_chars, pa.float64()),
-            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
-        )
         keep = pc.and_(
-            pc.greater_equal(n_tokens, min_tokens),
-            pc.greater_equal(alpha_ratio, min_alpha),
+            pc.greater_equal(n_tokens_of(text), min_tokens),
+            pc.greater_equal(alpha_ratio_of(text), min_alpha),
         )
         return batch.filter(keep).select(["doc_id", "text"])
 
@@ -86,8 +73,14 @@ def curate_corpus(
 ):
     """The composed keep-set: quality gate → near-dup clustering over the
     SURVIVORS → one representative (component-min doc_id) per cluster.
-    Returns a (doc_id) dataset of kept documents."""
-    survivors = quality_filter(documents_ds, min_tokens, min_alpha)
+    Returns a (doc_id) dataset of kept documents.
+
+    The survivor set is consumed three times downstream (minhash banding,
+    verify-text lookup, cluster assignment), so it is pinned with
+    materialize() — re-running the corpus read + regex gate 3× costs more
+    than holding (doc_id, text) blocks in the object store, which spills
+    to disk rather than OOMing when the survivor set outgrows memory."""
+    survivors = quality_filter(documents_ds, min_tokens, min_alpha).materialize()
     clusters = near_dup_clusters(survivors, threshold=threshold)
 
     def keep_reps(batch: pa.Table) -> pa.Table:

@@ -28,9 +28,17 @@ _log = logging.getLogger(__name__)
 
 _TOKEN_RE = re.compile(r"\W+")
 
-# quadratic guard: a bucket with more docs than this has its pair emission
-# truncated (degenerate-bucket protection). NEVER silent: every truncation
-# logs the dropped-pair count (no-silent-caps rule).
+# Quadratic guard: a bucket with more docs than this has its PAIR
+# ENUMERATION truncated (a mega-bucket's full pair set is Θ(n²) output —
+# no engine should emit it). NEVER silent: every truncation logs the
+# dropped-pair count (no-silent-caps rule). Exactness contract: the pair
+# oracles (dedup_minhash / dedup_simhash) are exact while every bucket is
+# ≤ BUCKET_CAP — always true on the driver corpora; beyond the cap, pair
+# enumeration is partial BUT cluster CONNECTIVITY is preserved, because
+# over-cap buckets additionally emit consecutive chain edges linking
+# every tail doc (see _bucket_pairs) — so near_dup_clusters /
+# curate_corpus still merge the whole component via transitivity and
+# exact duplicates can never survive curation.
 BUCKET_CAP = 1000
 
 
@@ -38,11 +46,19 @@ def _capped_ids(ids: np.ndarray, what: str) -> np.ndarray:
     if len(ids) > BUCKET_CAP:
         dropped = len(ids) * (len(ids) - 1) // 2 - BUCKET_CAP * (BUCKET_CAP - 1) // 2
         _log.warning(
-            "%s bucket of %d docs truncated to %d (dropping %d candidate pairs)",
+            "%s bucket of %d docs truncated to %d (dropping %d of the quadratic "
+            "candidate pairs; connectivity chain edges keep clustering exact)",
             what, len(ids), BUCKET_CAP, dropped,
         )
-        return ids[:BUCKET_CAP]
-    return ids
+    return ids[:BUCKET_CAP]
+
+
+def _chain_pairs(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Consecutive (ids[i], ids[i+1]) edges for the over-cap TAIL of a
+    bucket (from the last capped doc onward): O(n) edges that keep the
+    bucket one connected component for the clustering ops."""
+    tail = ids_sorted[BUCKET_CAP - 1 :]
+    return tail[:-1], tail[1:]
 
 # minhash parameters: 128 permutations, 32 bands × 4 rows
 N_PERM = 128
@@ -181,12 +197,18 @@ _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one (band, bucket) run, capped to bound
-    pathological buckets (quadratic guard; truncation is logged)."""
-    ids = _capped_ids(np.sort(group.column("doc_id").to_numpy()), "minhash")
+    """Candidate pairs within one (band, bucket) run: full quadratic pairs
+    up to BUCKET_CAP docs (logged truncation beyond), plus O(n) chain
+    edges over the over-cap tail so clustering stays connectivity-exact."""
+    ids_all = np.sort(group.column("doc_id").to_numpy())
+    ids = _capped_ids(ids_all, "minhash")
     ii, jj = np.triu_indices(len(ids), k=1)
+    a, b = ids[ii], ids[jj]
+    if len(ids_all) > BUCKET_CAP:
+        ca, cb = _chain_pairs(ids_all)
+        a, b = np.concatenate([a, ca]), np.concatenate([b, cb])
     return pa.Table.from_arrays(
-        [pa.array(ids[ii], pa.int64()), pa.array(ids[jj], pa.int64())],
+        [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
         names=["doc_a", "doc_b"],
     )
 
@@ -216,18 +238,21 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
-def _attach_texts(pairs_ds, documents_ds, key_col: str, out_col: str, carry: list[str]):
+def _attach_texts(pairs_ds, documents_ds, key_col: str, out_col: str,
+                  carry: dict[str, pa.DataType]):
     """Distributed text lookup in ONE exchange: union text rows (kind=0,
-    keyed by doc_id) with pair rows (kind=1, keyed by ``key_col``), sort by
-    (key, kind), then a sorted-run scan attaches each run's leading text
-    row to the pair rows behind it. No driver-side pair/text collection;
-    the text side streams through the same range-partitioned sort the rest
-    of the engine uses (stages/groups.py co-partitioning guarantee)."""
+    keyed by doc_id) with pair rows (kind=1, keyed by ``key_col``), sort
+    by key, then a sorted-run scan attaches each run's text row to the
+    pair rows sharing its key. No driver-side pair/text collection; the
+    text side streams through the same range-partitioned sort the rest of
+    the engine uses (stages/groups.py co-partitioning guarantee).
+
+    carry: explicit {column: arrow type} mapping of pair-side columns to
+    thread through (nothing is inferred from column names)."""
     from parser_rdf_ray.stages.groups import grouped_run_map
 
-    carry_types = {c: pa.int64() for c in carry}
-    if "text_a" in carry:
-        carry_types["text_a"] = pa.string()
+    carry_types = dict(carry)
+    carry = list(carry_types)
     union_fields = (
         [("key", pa.int64()), ("kind", pa.int8())]
         + [(c, carry_types[c]) for c in carry]
@@ -367,9 +392,13 @@ def minhash_lsh_dedup(documents_ds, threshold: float = 0.8,
         return pairs.map_batches(Verify(), batch_format="pyarrow", zero_copy_batch=True)
 
     # scale path: two sorted-run text joins, then verify in-stream
-    with_a = _attach_texts(pairs, documents_ds, "doc_a", "text_a", ["doc_a", "doc_b"])
+    with_a = _attach_texts(
+        pairs, documents_ds, "doc_a", "text_a",
+        {"doc_a": pa.int64(), "doc_b": pa.int64()},
+    )
     with_ab = _attach_texts(
-        with_a, documents_ds, "doc_b", "text_b", ["doc_a", "doc_b", "text_a"]
+        with_a, documents_ds, "doc_b", "text_b",
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "text_a": pa.string()},
     )
     return with_ab.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -436,6 +465,17 @@ def near_dup_clusters(documents_ds, threshold: float = 0.8):
 
 
 # --- simhash ---------------------------------------------------------------
+
+
+# The DuckDB expression rebuilding a 64-bit simhash from per-token hashes
+# in a column `hv` (= md5_number_lower(token), the _md5_low64 contract):
+# 64 sign-of-weighted-bit-sum aggregates. Single source of truth for the
+# driver oracle (__ray_entry__.py) and the SQL-contract property tests.
+SIMHASH_SQL_BITS = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+    for b in range(64)
+)
 
 
 def _md5_low64(token: str) -> int:
@@ -541,17 +581,27 @@ def simhash_dedup(documents_ds, max_hamming: int = 3):
     from parser_rdf_ray.stages.groups import grouped_run_map, sorted_distinct
 
     def band_pairs(group: pa.Table) -> pa.Table:
-        order = _capped_ids(np.argsort(group.column("doc_id").to_numpy()), "simhash")
-        ids = group.column("doc_id").to_numpy()[order]
-        hashes = group.column("simhash").to_numpy()[order]
+        order_all = np.argsort(group.column("doc_id").to_numpy())
+        ids_all = group.column("doc_id").to_numpy()[order_all]
+        hashes_all = group.column("simhash").to_numpy()[order_all]
+        order = _capped_ids(np.arange(len(ids_all)), "simhash")
+        ids, hashes = ids_all[order], hashes_all[order]
         ii, jj = np.triu_indices(len(ids), k=1)
-        xor = hashes[ii] ^ hashes[jj]
+        a, b = ids[ii], ids[jj]
+        ha, hb = hashes[ii], hashes[jj]
+        if len(ids_all) > BUCKET_CAP:
+            ca_idx = np.arange(BUCKET_CAP - 1, len(ids_all) - 1)
+            a = np.concatenate([a, ids_all[ca_idx]])
+            b = np.concatenate([b, ids_all[ca_idx + 1]])
+            ha = np.concatenate([ha, hashes_all[ca_idx]])
+            hb = np.concatenate([hb, hashes_all[ca_idx + 1]])
+        xor = ha ^ hb
         ham = np.array([bin(int(x)).count("1") for x in xor], dtype=np.int32)
-        keep = (ham <= max_hamming) & (ids[ii] != ids[jj])
+        keep = (ham <= max_hamming) & (a != b)
         return pa.Table.from_arrays(
             [
-                pa.array(ids[ii][keep], pa.int64()),
-                pa.array(ids[jj][keep], pa.int64()),
+                pa.array(a[keep], pa.int64()),
+                pa.array(b[keep], pa.int64()),
                 pa.array(ham[keep], pa.int32()),
             ],
             names=["doc_a", "doc_b", "hamming"],

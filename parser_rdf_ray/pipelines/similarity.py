@@ -271,7 +271,11 @@ def label_centroids(embeddings_ds, dim: int = 64, round_to: int = 6):
         label = group.column("label")[0].as_py()
         sums = np.array(group.column("vec_sum").to_pylist(), dtype=np.float64)
         n = int(np.sum(group.column("n").to_numpy()))
-        mean = np.round(sums.sum(axis=0) / n, round_to)
+        raw = sums.sum(axis=0) / n
+        # round HALF-AWAY-FROM-ZERO to match DuckDB ROUND (np.round is
+        # half-to-even and diverges at exact .5 boundaries, e.g. 1/128)
+        scale = 10.0 ** round_to
+        mean = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
         dims = np.arange(1, len(mean) + 1)
         return pa.Table.from_arrays(
             [

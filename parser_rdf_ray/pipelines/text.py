@@ -62,22 +62,41 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def ws_tokens(text_col):
+    """Whitespace token lists of trimmed text — THE token definition every
+    quality metric (and the curation gate, and the SQL oracles via
+    string_split_regex(trim(text), '\\s+')) shares."""
+    return pc.split_pattern_regex(pc.utf8_trim_whitespace(text_col), r"\s+")
+
+
+def n_tokens_of(text_col):
+    """int64 whitespace token count (shared metric definition)."""
+    return pc.cast(pc.list_value_length(ws_tokens(text_col)), pa.int64())
+
+
+def alpha_ratio_of(text_col):
+    """float64 alphabetic-character ratio (shared metric definition):
+    length(regexp_replace(text,'[^A-Za-z]','','g')) / max(length(text),1)."""
+    n_chars = pc.cast(pc.utf8_length(text_col), pa.int64())
+    alpha_chars = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(text_col, r"[^A-Za-z]", "")),
+        pa.int64(),
+    )
+    return pc.divide(
+        pc.cast(alpha_chars, pa.float64()),
+        pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+    )
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality metrics, all Arrow-kernel vectorized:
     n_chars, n_tokens, mean_token_len, alpha_ratio (alphabetic chars /
     chars), stopword_ratio (against the English profile)."""
     text = batch.column("text")
-    trimmed = pc.utf8_trim_whitespace(text)
-    tokens = pc.split_pattern_regex(trimmed, r"\s+")
+    tokens = ws_tokens(text)
     n_tokens = pc.cast(pc.list_value_length(tokens), pa.int64())
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-    alpha_chars = pc.cast(
-        pc.utf8_length(pc.replace_substring_regex(text, r"[^A-Za-z]", "")), pa.int64()
-    )
-    alpha_ratio = pc.divide(
-        pc.cast(alpha_chars, pa.float64()),
-        pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
-    )
+    alpha_ratio = alpha_ratio_of(text)
     # stopword ratio: flatten the token lists once, lower + set-membership
     # as Arrow kernels, then one reduceat back to per-doc counts
     import numpy as np

@@ -133,12 +133,12 @@ def serialize_nquads_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays([line], names=["line"])
 
 
-class NQuadsDatasink(BlockBasedFileDatasink):
-    def __init__(self, path: str, **kwargs):
-        super().__init__(path, file_format="nq", **kwargs)
+class NQuadsDatasink(NTriplesDatasink):
+    """Same line-per-statement writer, .nq extension (the 'line' column
+    upstream is serialize_nquads_batch's)."""
 
-    def write_block_to_file(self, block: BlockAccessor, file) -> None:
-        NTriplesDatasink.write_block_to_file(self, block, file)
+    def __init__(self, path: str, **kwargs):
+        BlockBasedFileDatasink.__init__(self, path, file_format="nq", **kwargs)
 
 
 def write_nquads(adjacency_ds, out_dir: str) -> None:

@@ -216,6 +216,28 @@ class TestDedupOps:
         assert out[5] == out[2] == out[9] == 2  # component min
         assert out[7] == 7  # singleton maps to itself
 
+    def test_over_cap_bucket_keeps_cluster_connected(self, ray_session, monkeypatch):
+        """When a bucket exceeds BUCKET_CAP, quadratic pair emission is
+        truncated but chain edges must keep the bucket ONE component — an
+        exact-duplicate mega-cluster can never leak duplicates through
+        curation."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines import dedup
+
+        monkeypatch.setattr(dedup, "BUCKET_CAP", 5)
+        text = "identical content repeated for every single document here " * 3
+        n = 12
+        tbl = pa.Table.from_pydict(
+            {"doc_id": list(range(100, 100 + n)), "text": [text] * n}
+        )
+        out = (
+            dedup.near_dup_clusters(ray.data.from_arrow(tbl), threshold=0.8)
+            .to_pandas()
+        )
+        assert set(out.cluster_rep) == {100}  # one component, min-id rep
+        assert len(out) == n
+
     def test_simhash_identical_docs(self, ray_session):
         import ray.data
 

@@ -31,11 +31,8 @@ _FP_SQL = FINGERPRINT_SQL.replace(
     "FROM documents", "FROM (SELECT 0 AS doc_id, ? AS text)"
 )
 
-_SIM_BITS = " + ".join(
-    f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
-    f"THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
-    for b in range(64)
-)
+from parser_rdf_ray.pipelines.dedup import SIMHASH_SQL_BITS as _SIM_BITS
+
 _SIM_SQL = rf"""
 WITH toks AS (
   SELECT list_filter(string_split_regex(lower(?), '\W+'), x -> x <> '') AS t
