@@ -220,6 +220,16 @@ def _q_kg_resolved(sf_dir: str):
     return adjacency.select_columns(["subj", "pred", "obj"])
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Iterative PageRank over the KG adjacency (5 power iterations as
+    distributed merge-joins; per-iteration rounding pins the float
+    trajectory so the unrolled SQL oracle matches bit-for-bit)."""
+    from parser_rdf_ray.pipelines.kg_build import pagerank
+
+    adjacency, _ = _build_kg_adjacency(sf_dir)
+    return pagerank(adjacency, n_iter=5)
+
+
 def _q_kg_graphs(sf_dir: str):
     """Named-graph assembly (W3 full): per-graph triple counts over the
     corpus — '_:default' sentinel plus one named graph per JSON-LD doc
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,
         "kg_degree": _q_kg_degree,
         "kg_paths2": _q_kg_paths2,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_graphs": _q_kg_graphs,
         "kg_errors": _q_kg_errors,
         "kg_classes": _q_kg_classes,
@@ -706,6 +717,30 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_graphs"] = _TRIPLES_CTE + (
         "SELECT graph, COUNT(*) AS n_triples FROM trip GROUP BY graph"
+    )
+
+    # PageRank oracle: the SAME 5 power iterations unrolled as CTEs, with
+    # identical per-iteration ROUND (half-away-from-zero on both sides),
+    # so the float trajectories cannot drift. Edge set = distinct IRI
+    # (subj, obj) pairs, same obj LIKE filter trick as kg_paths2.
+    _pr_iters = []
+    for _i in range(1, 6):
+        _pr_iters.append(
+            f"r{_i} AS (SELECT n.node, ROUND(0.15 + 0.85 * COALESCE(s.m, 0), 9) AS rank "
+            f"FROM prnodes n LEFT JOIN ("
+            f"  SELECT e.dst AS node, SUM(r.rank / od.d) AS m "
+            f"  FROM pre e JOIN r{_i-1} r ON r.node = e.src "
+            f"  JOIN prod od ON od.node = e.src GROUP BY e.dst) s "
+            f"ON s.node = n.node)"
+        )
+    sql["kg_pagerank"] = _TRIPLES_CTE + (
+        ", pre AS (SELECT DISTINCT subj AS src, obj AS dst FROM trip "
+        "          WHERE obj LIKE 'http://%'), "
+        "prnodes AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre), "
+        "prod AS (SELECT src AS node, COUNT(*) AS d FROM pre GROUP BY src), "
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM prnodes), "
+        + ", ".join(_pr_iters)
+        + " SELECT node, rank FROM r5"
     )
 
     sql["kg_errors"] = (

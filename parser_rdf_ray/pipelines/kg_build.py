@@ -214,3 +214,231 @@ def two_hop_path_counts(adjacency_ds, num_partitions: int | None = None):
         )
 
     return counts.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
+             round_to: int = 9):
+    """Iterative PageRank over the KG's IRI edge set — the engine's
+    iterative-convergence primitive (power iteration as n_iter rounds of
+    Dataset joins, nothing ever on the driver).
+
+    Semantics (matched EXACTLY by the SQL oracle, which unrolls the same
+    iterations): nodes = IRIs appearing as src or dst of a distinct
+    (subj, obj) IRI edge; rank_0 = 1.0; rank_{t+1}(v) = round(
+    (1 - damping) + damping * Σ_{u→v} rank_t(u)/outdeg(u), round_to).
+    Dangling mass is dropped (standard simplification — both sides agree).
+    Per-iteration rounding pins the float trajectory so distributed
+    summation order cannot drift from the oracle's.
+
+    Plan per iteration: a sorted-run MERGE-JOIN of edges with the rank
+    table on src (tagged union → ONE range-partitioned sort; equal keys
+    are co-partitioned, the same guarantee every exchange in this engine
+    rests on) emits per-edge contributions, then ONE groupby(node) over
+    contributions ∪ zero-base rows — the union trick gives no-in-edge
+    nodes their (1-d) base without an outer join, and Max(outdeg) rides
+    along so the next iteration needs no extra join. 2 exchanges per
+    iteration, edge- and node-sized only. (ds.join was measured and
+    rejected here: its hash-shuffle aggregators choke on the schema-less
+    empty blocks aggregate stages emit, and they hang at low CPU counts —
+    see BASELINE.md.)
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from parser_rdf_ray.stages.groups import sorted_distinct
+
+    def iri_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("obj_kind"), "iri"))
+        src = pc.cast(b.column("subj").combine_chunks(), pa.string())
+        dst = pc.cast(b.column("obj").combine_chunks(), pa.string())
+        return pa.Table.from_arrays([src, dst], names=["src", "dst"])
+
+    edges = sorted_distinct(
+        adjacency_ds.map_batches(
+            iri_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["src", "dst"],
+    ).materialize()
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.float64())],
+        names=["node", "rank"],
+    )
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def explode_nodes(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [b.column("src").combine_chunks(), b.column("dst").combine_chunks()]
+        )
+        return pa.Table.from_arrays([both], names=["node"])
+
+    nodes = sorted_distinct(
+        edges.map_batches(explode_nodes, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+    )
+
+    outdeg = edges.groupby("src").count()
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("src"), pc.cast(b.column("count()"), pa.int64())],
+            names=["node", "outdeg"],
+        )
+
+    base_deg = outdeg.map_batches(deg_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    # zero-base rows: every node, contribution 0, outdeg where defined
+    def node_zero(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                b.column("node"),
+                pa.array(np.zeros(n), pa.float64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            names=["node", "contrib", "outdeg"],
+        )
+
+    def deg_zero(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [b.column("node"), pa.array(np.zeros(n), pa.float64()), b.column("outdeg")],
+            names=["node", "contrib", "outdeg"],
+        )
+
+    base = nodes.map_batches(node_zero, batch_format="pyarrow", zero_copy_batch=True).union(
+        base_deg.map_batches(deg_zero, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()
+
+    scale = 10.0 ** round_to
+
+    def finish_ranks(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("sum(contrib)").to_pylist(), dtype=np.float64)
+        raw = (1.0 - damping) + damping * s
+        # half-away-from-zero == DuckDB ROUND (values are positive here)
+        rank = np.floor(raw * scale + 0.5) / scale
+        deg = pc.cast(b.column("max(outdeg)"), pa.int64())
+        node = pc.cast(b.column("node").combine_chunks(), pa.string())
+        return pa.Table.from_arrays(
+            [node, pa.array(rank, pa.float64()), deg],
+            names=["node", "rank", "outdeg"],
+        )
+
+    # rank_0 = 1.0 for every node, with outdeg attached via the same union
+    ranks = (
+        base.groupby("node")
+        .aggregate(Sum("contrib"), Max("outdeg"))
+        .map_batches(
+            lambda b: pa.Table.from_arrays(
+                [
+                    b.column("node"),
+                    pa.array(np.ones(b.num_rows), pa.float64()),
+                    b.column("max(outdeg)"),
+                ],
+                names=["node", "rank", "outdeg"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("kind", pa.int8()),
+            ("dst", pa.string()),
+            ("weight", pa.float64()),
+        ]
+    )
+    contrib_schema = pa.schema([("node", pa.string()), ("contrib", pa.float64())])
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("src").combine_chunks(), pa.string()),
+                pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                pc.cast(b.column("dst").combine_chunks(), pa.string()),
+                pa.nulls(n, pa.float64()),
+            ],
+            schema=union_schema,
+        )
+
+    edge_rows = edges.map_batches(
+        edge_side, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def attach(run: pa.Table) -> pa.Table:
+        kinds = run.column("kind")
+        w_rows = run.filter(pc.equal(kinds, 0))
+        if w_rows.num_rows == 0:  # src with no (positive) rank weight
+            return contrib_schema.empty_table()
+        weight = w_rows.column("weight")[0].as_py()
+        es = run.filter(pc.equal(kinds, 1))
+        return pa.Table.from_arrays(
+            [es.column("dst"), pa.array([weight] * es.num_rows, pa.float64())],
+            schema=contrib_schema,
+        )
+
+    for _ in range(n_iter):
+        def weights(b: pa.Table) -> pa.Table:
+            # Max() over an all-null partition yields a null-TYPED column;
+            # normalize to int64 before arithmetic
+            deg = pc.cast(b.column("outdeg"), pa.int64())
+            w = pc.if_else(
+                pc.is_valid(deg),
+                pc.divide(
+                    b.column("rank"), pc.cast(pc.fill_null(deg, 1), pa.float64())
+                ),
+                pa.scalar(0.0, pa.float64()),
+            )
+            node = pc.cast(b.column("node").combine_chunks(), pa.string())
+            n = len(node)
+            t = pa.Table.from_arrays(
+                [
+                    node,
+                    pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                    pa.nulls(n, pa.string()),
+                    w,
+                ],
+                schema=union_schema,
+            )
+            return t.filter(pc.greater(t.column("weight"), 0.0))
+
+        w_rows = ranks.map_batches(weights, batch_format="pyarrow", zero_copy_batch=True)
+        contrib_pairs = grouped_run_map(
+            edge_rows.union(w_rows), ["key"], attach, schema=contrib_schema, min_run=2
+        )
+
+        def contribs(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    b.column("node"),
+                    b.column("contrib"),
+                    pa.nulls(b.num_rows, pa.int64()),
+                ],
+                names=["node", "contrib", "outdeg"],
+            )
+
+        contrib_rows = contrib_pairs.map_batches(
+            contribs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        merged = contrib_rows.union(base).groupby("node").aggregate(
+            Sum("contrib"), Max("outdeg")
+        )
+        # materialize per iteration: an iterative algorithm must execute
+        # each round (chaining n_iter lazy hash-joins into ONE plan would
+        # run every join's aggregator pool concurrently and deadlock the
+        # scheduler at low CPU counts; one join per execution is also how
+        # a convergence check would read the state anyway)
+        ranks = merged.map_batches(
+            finish_ranks, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return ranks.select_columns(["node", "rank"])

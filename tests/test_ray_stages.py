@@ -973,6 +973,59 @@ class TestTwoHopPaths:
         assert two_hop_path_counts(empty).count() == 0
 
 
+class TestPageRank:
+    def test_matches_reference_implementation(self, ray_session):
+        """5 power iterations on a small digraph must equal the plain
+        single-process reference (same per-iteration rounding), including
+        a dangling node and a no-in-edge node."""
+        import math
+
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import pagerank
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("a", "c")]
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "subj": s, "pred": "p", "obj": o, "obj_kind": "iri",
+                    "obj_datatype": "", "obj_lang": "", "graph": "_:default",
+                }
+                for s, o in edges
+            ]
+        )
+        got = (
+            pagerank(ray.data.from_arrow(tbl), n_iter=5)
+            .to_pandas()
+            .set_index("node")["rank"]
+        )
+        nodes = {n for e in edges for n in e}
+        outdeg: dict = {}
+        for u, _ in edges:
+            outdeg[u] = outdeg.get(u, 0) + 1
+        ranks = {n: 1.0 for n in nodes}
+        for _ in range(5):
+            s = {n: 0.0 for n in nodes}
+            for u, v in edges:
+                s[v] += ranks[u] / outdeg[u]
+            ranks = {
+                n: math.floor((0.15 + 0.85 * s[n]) * 1e9 + 0.5) / 1e9 for n in nodes
+            }
+        assert set(got.index) == nodes
+        for n in nodes:
+            assert abs(got[n] - ranks[n]) < 1e-12, n
+        assert got["d"] == 0.15  # no in-edges → base rank only
+
+    def test_empty_graph(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import pagerank
+        from parser_rdf_ray.stages.parse import TRIPLES_SCHEMA
+
+        empty = ray.data.from_arrow(TRIPLES_SCHEMA.empty_table())
+        assert pagerank(empty, n_iter=2).count() == 0
+
+
 class TestLineageKeyBounds:
     def test_sorted_stage_manifest_records_disjoint_ranges(self, ray_session, docs, tmp_path):
         """Lineage manifests carry per-partition key bounds; for a sorted
