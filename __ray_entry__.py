@@ -230,6 +230,15 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(adjacency, n_iter=5)
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components over the undirected IRI edge set (min-label
+    propagation to exact fixpoint; oracle = recursive reachability)."""
+    from parser_rdf_ray.pipelines.kg_build import connected_components
+
+    adjacency, _ = _build_kg_adjacency(sf_dir)
+    return connected_components(adjacency)
+
+
 def _q_kg_graphs(sf_dir: str):
     """Named-graph assembly (W3 full): per-graph triple counts over the
     corpus — '_:default' sentinel plus one named graph per JSON-LD doc
@@ -637,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": _q_kg_degree,
         "kg_paths2": _q_kg_paths2,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_components": _q_kg_components,
         "kg_graphs": _q_kg_graphs,
         "kg_errors": _q_kg_errors,
         "kg_classes": _q_kg_classes,
@@ -717,6 +727,21 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_graphs"] = _TRIPLES_CTE + (
         "SELECT graph, COUNT(*) AS n_triples FROM trip GROUP BY graph"
+    )
+
+    # components oracle: exact transitive closure via recursive min-label
+    # reachability over the undirected IRI edge set — iteration-count
+    # independent, so a convergence bug in the pipeline cannot hide
+    sql["kg_components"] = _TRIPLES_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1) + (
+        ", de AS (SELECT DISTINCT subj AS src, obj AS dst FROM trip "
+        "         WHERE obj LIKE 'http://%'), "
+        "ue AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de), "
+        "cnodes AS (SELECT src AS node FROM ue), "
+        "reach(node, r) AS ("
+        "  SELECT node, node FROM cnodes "
+        "  UNION "
+        "  SELECT e.dst, reach.r FROM reach JOIN ue e ON e.src = reach.node) "
+        "SELECT node, MIN(r) AS component FROM reach GROUP BY node"
     )
 
     # PageRank oracle: the SAME 5 power iterations unrolled as CTEs, with

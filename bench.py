@@ -115,6 +115,8 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "kg_classes",
         "kg_prefixes",
         "kg_graphs",
+        "kg_pagerank",
+        "kg_components",
         "kg_links",
         "kg_resolved",
         "kg_entities",

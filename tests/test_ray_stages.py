@@ -1026,6 +1026,39 @@ class TestPageRank:
         assert pagerank(empty, n_iter=2).count() == 0
 
 
+class TestConnectedComponents:
+    def test_components_to_fixpoint(self, ray_session):
+        """Min-label propagation must reach the exact fixpoint: a 5-node
+        chain (diameter 4 — more iterations than a naive 2-3 round loop)
+        plus a separate pair and directions that only connect undirected."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import connected_components
+        from parser_rdf_ray.stages.parse import TRIPLES_SCHEMA
+
+        edges = [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")]
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "subj": s, "pred": "p", "obj": o, "obj_kind": "iri",
+                    "obj_datatype": "", "obj_lang": "", "graph": "_:default",
+                }
+                for s, o in edges
+            ]
+        )
+        out = (
+            connected_components(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .set_index("node")["component"]
+        )
+        for n in "abcde":
+            assert out[n] == "a", (n, out[n])
+        assert out["x"] == out["y"] == "x"
+        # empty graph
+        empty = ray.data.from_arrow(TRIPLES_SCHEMA.empty_table())
+        assert connected_components(empty).count() == 0
+
+
 class TestLineageKeyBounds:
     def test_sorted_stage_manifest_records_disjoint_ranges(self, ray_session, docs, tmp_path):
         """Lineage manifests carry per-partition key bounds; for a sorted
