@@ -468,8 +468,6 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Min
-
     from parser_rdf_ray.stages.groups import grouped_run_map, sorted_distinct
 
     def iri_edges(b: pa.Table) -> pa.Table:
@@ -561,13 +559,52 @@ def connected_components(adjacency_ds, max_iter: int = 50):
         self_labels, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    cmp_schema = pa.schema([("changed", pa.int64())])
+    # state rows tagged is_old so ONE sorted-run scan per iteration both
+    # min-aggregates the candidate labels AND detects per-node change —
+    # 2 exchanges per round total (propagate sort + this), and the
+    # convergence count is a free scan of the already-materialized state
+    state_schema = pa.schema(
+        [("node", pa.string()), ("label", pa.string()), ("changed", pa.int64())]
+    )
 
-    def diff_count(run: pa.Table) -> pa.Table:
-        labs = set(run.column("label").to_pylist())
-        return pa.Table.from_arrays(
-            [pa.array([1 if len(labs) > 1 else 0], pa.int64())], schema=cmp_schema
+    def min_and_diff_block(batch: pa.Table) -> pa.Table:
+        # node runs are co-partitioned by the key-only sort; per-block
+        # vectorized group_by (polars) computes each node's min candidate
+        # label and whether it differs from the old one — NO per-node
+        # Python dispatch (node count is corpus-scale)
+        if batch.num_rows == 0:
+            return state_schema.empty_table()
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        agg = df.group_by("node").agg(
+            pl.col("label").min().alias("new_label"),
+            pl.col("label").filter(pl.col("is_old") == 1).first().alias("old_label"),
         )
+        agg = agg.with_columns(
+            (pl.col("new_label") != pl.col("old_label")).cast(pl.Int64).alias("changed")
+        )
+        t = agg.to_arrow()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("node").combine_chunks(), pa.string()),
+                pc.cast(t.column("new_label").combine_chunks(), pa.string()),
+                pc.cast(t.column("changed").combine_chunks(), pa.int64()),
+            ],
+            schema=state_schema,
+        )
+
+    def tag(is_old: int):
+        def f(b: pa.Table) -> pa.Table:
+            node = pc.cast(b.column("node").combine_chunks(), pa.string())
+            label = pc.cast(b.column("label").combine_chunks(), pa.string())
+            return pa.Table.from_arrays(
+                [node, label,
+                 pa.array(np.full(b.num_rows, is_old, dtype=np.int8), pa.int8())],
+                names=["node", "label", "is_old"],
+            )
+
+        return f
 
     for _ in range(max_iter):
         prop = grouped_run_map(
@@ -579,37 +616,19 @@ def connected_components(adjacency_ds, max_iter: int = 50):
             schema=prop_schema,
             min_run=2,
         )
-        new_labels = (
-            prop.union(labels)
-            .groupby("node")
-            .aggregate(Min("label"))
-            .map_batches(
-                lambda b: pa.Table.from_arrays(
-                    [
-                        pc.cast(b.column("node").combine_chunks(), pa.string()),
-                        pc.cast(b.column("min(label)").combine_chunks(), pa.string()),
-                    ],
-                    schema=prop_schema,
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            # repartition: without it the label table's BLOCK COUNT
-            # doubles every iteration (each stage's output block count
-            # tracks its input's — measured 48 → 112 → 240 → 496 → 1008
-            # blocks, wall time quadrupling per round); pinning the state
-            # to a fixed block count keeps iterations constant-cost
-            .repartition(16)
-            .materialize()
+        tagged = prop.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+            labels.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
         )
-        # exact convergence: a node changed iff its old and new labels
-        # differ — one sorted-run compare over old ∪ new rows
-        changed_runs = grouped_run_map(
-            labels.union(new_labels), ["node"], diff_count,
-            schema=cmp_schema, min_run=2,
+        state = tagged.sort(["node"]).map_batches(
+            min_and_diff_block, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
         )
-        changed = sum(r["changed"] for r in changed_runs.take_all())
-        labels = new_labels
+        # repartition to a FIXED block count: each stage's output block
+        # count tracks its input's, so loop state otherwise doubles blocks
+        # per round (measured 48 → 1008, wall time quadrupling)
+        state = state.repartition(16).materialize()
+        changed = int(state.sum("changed"))  # scan of materialized blocks
+        labels = state.select_columns(["node", "label"])
         if changed == 0:
             break
 
