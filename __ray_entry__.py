@@ -744,16 +744,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT node, MIN(r) AS component FROM reach GROUP BY node"
     )
 
-    # PageRank oracle: the SAME 5 power iterations unrolled as CTEs, with
-    # identical per-iteration ROUND (half-away-from-zero on both sides),
-    # so the float trajectories cannot drift. Edge set = distinct IRI
-    # (subj, obj) pairs, same obj LIKE filter trick as kg_paths2.
+    # PageRank oracle: the SAME 5 power iterations unrolled as CTEs, in
+    # FIXED-POINT int64 micro-units with floor division — bit-identical
+    # to the pipeline by construction because integer sums are exactly
+    # associative (float accumulation flaked at rounding boundaries
+    # regardless of precision; see pipelines/kg_build.py:pagerank).
+    # Edge set = distinct IRI (subj, obj) pairs, same obj LIKE filter
+    # trick as kg_paths2.
+    _pr_scale = 10 ** 6
+    _pr_base = (15 * _pr_scale) // 100  # (100 - damping%) · scale // 100
     _pr_iters = []
     for _i in range(1, 6):
         _pr_iters.append(
-            f"r{_i} AS (SELECT n.node, ROUND(0.15 + 0.85 * COALESCE(s.m, 0), 9) AS rank "
+            f"r{_i} AS (SELECT n.node, "
+            f"CAST({_pr_base} + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank_u "
             f"FROM prnodes n LEFT JOIN ("
-            f"  SELECT e.dst AS node, SUM(r.rank / od.d) AS m "
+            f"  SELECT e.dst AS node, SUM(r.rank_u // od.d) AS m "
             f"  FROM pre e JOIN r{_i-1} r ON r.node = e.src "
             f"  JOIN prod od ON od.node = e.src GROUP BY e.dst) s "
             f"ON s.node = n.node)"
@@ -763,9 +769,9 @@ def oracle_sql() -> dict[str, str]:
         "          WHERE obj LIKE 'http://%'), "
         "prnodes AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre), "
         "prod AS (SELECT src AS node, COUNT(*) AS d FROM pre GROUP BY src), "
-        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM prnodes), "
+        f"r0 AS (SELECT node, CAST({_pr_scale} AS BIGINT) AS rank_u FROM prnodes), "
         + ", ".join(_pr_iters)
-        + " SELECT node, rank FROM r5"
+        + f" SELECT node, CAST(rank_u AS DOUBLE) / {_pr_scale} AS rank FROM r5"
     )
 
     sql["kg_errors"] = (

@@ -33,32 +33,34 @@ _TOKEN_RE = re.compile(r"\W+")
 # no engine should emit it). NEVER silent: every truncation logs the
 # dropped-pair count (no-silent-caps rule). Exactness contract: the pair
 # oracles (dedup_minhash / dedup_simhash) are exact while every bucket is
-# ≤ BUCKET_CAP — always true on the driver corpora; beyond the cap, pair
-# enumeration is partial BUT cluster CONNECTIVITY is preserved, because
-# over-cap buckets additionally emit consecutive chain edges linking
-# every tail doc (see _bucket_pairs) — so near_dup_clusters /
-# curate_corpus still merge the whole component via transitivity and
-# exact duplicates can never survive curation.
+# ≤ the cap — always true on the driver corpora. Beyond the cap, pair
+# enumeration is partial; over-cap buckets additionally emit consecutive
+# chain edges over the tail, which keeps EXACT-duplicate mega-buckets one
+# connected component (every chain pair verifies at jaccard 1 / hamming
+# 0), so exact duplicates can never leak through curation. For
+# NEAR-duplicate over-cap buckets the chain pairs may fail verification
+# (consecutive docs below threshold) and a cluster can split — inherent
+# to any sub-quadratic emission, and logged.
 BUCKET_CAP = 1000
 
 
-def _capped_ids(ids: np.ndarray, what: str) -> np.ndarray:
-    if len(ids) > BUCKET_CAP:
-        dropped = len(ids) * (len(ids) - 1) // 2 - BUCKET_CAP * (BUCKET_CAP - 1) // 2
+def _capped_ids(ids: np.ndarray, what: str, cap: int) -> np.ndarray:
+    if len(ids) > cap:
+        dropped = len(ids) * (len(ids) - 1) // 2 - cap * (cap - 1) // 2
         _log.warning(
             "%s bucket of %d docs truncated to %d (dropping %d of the quadratic "
-            "candidate pairs; connectivity chain edges keep clustering exact)",
-            what, len(ids), BUCKET_CAP, dropped,
+            "candidate pairs; tail chain edges keep exact-duplicate buckets "
+            "connected, near-dup clusters may split)",
+            what, len(ids), cap, dropped,
         )
-    return ids[:BUCKET_CAP]
+    return ids[:cap]
 
 
-def _chain_pairs(ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Consecutive (ids[i], ids[i+1]) edges for the over-cap TAIL of a
-    bucket (from the last capped doc onward): O(n) edges that keep the
-    bucket one connected component for the clustering ops."""
-    tail = ids_sorted[BUCKET_CAP - 1 :]
-    return tail[:-1], tail[1:]
+def _chain_index_pairs(n: int, cap: int) -> np.ndarray:
+    """Start indices i of consecutive (i, i+1) tail edges for an n-doc
+    bucket truncated at cap (from the last capped doc onward) — the ONE
+    definition both the minhash and simhash emitters derive from."""
+    return np.arange(cap - 1, n - 1)
 
 # minhash parameters: 128 permutations, 32 bands × 4 rows
 N_PERM = 128
@@ -196,24 +198,31 @@ class MinHashBands:
 _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one (band, bucket) run: full quadratic pairs
-    up to BUCKET_CAP docs (logged truncation beyond), plus O(n) chain
-    edges over the over-cap tail so clustering stays connectivity-exact."""
-    ids_all = np.sort(group.column("doc_id").to_numpy())
-    ids = _capped_ids(ids_all, "minhash")
-    ii, jj = np.triu_indices(len(ids), k=1)
-    a, b = ids[ii], ids[jj]
-    if len(ids_all) > BUCKET_CAP:
-        ca, cb = _chain_pairs(ids_all)
-        a, b = np.concatenate([a, ca]), np.concatenate([b, cb])
-    return pa.Table.from_arrays(
-        [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
-        names=["doc_a", "doc_b"],
-    )
+def _make_bucket_pairs(cap: int):
+    """Candidate-pair emitter for one (band, bucket) run: full quadratic
+    pairs up to ``cap`` docs (logged truncation beyond), plus O(n) chain
+    edges over the over-cap tail (exact-dup connectivity). The cap is a
+    closure value so it serializes to workers with the function — a
+    module-global would be re-imported worker-side at its default."""
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids_all = np.sort(group.column("doc_id").to_numpy())
+        ids = _capped_ids(ids_all, "minhash", cap)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        a, b = ids[ii], ids[jj]
+        if len(ids_all) > cap:
+            ci = _chain_index_pairs(len(ids_all), cap)
+            a = np.concatenate([a, ids_all[ci]])
+            b = np.concatenate([b, ids_all[ci + 1]])
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+            names=["doc_a", "doc_b"],
+        )
+
+    return bucket_pairs
 
 
-def minhash_candidate_pairs(documents_ds):
+def minhash_candidate_pairs(documents_ds, bucket_cap: int = BUCKET_CAP):
     """documents → deduped candidate pairs (doc_a < doc_b).
 
     Two exchanges total, no per-group Python dispatch: one sorted-run scan
@@ -225,7 +234,9 @@ def minhash_candidate_pairs(documents_ds):
     bands = documents_ds.map_batches(
         MinHashBands(), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = grouped_run_map(bands, ["band_id", "bucket"], _bucket_pairs, schema=_PAIR_SCHEMA)
+    pairs = grouped_run_map(
+        bands, ["band_id", "bucket"], _make_bucket_pairs(bucket_cap), schema=_PAIR_SCHEMA
+    )
     return sorted_distinct(pairs, ["doc_a", "doc_b"])
 
 
@@ -308,7 +319,8 @@ def _attach_texts(pairs_ds, documents_ds, key_col: str, out_col: str,
 
 
 def minhash_lsh_dedup(documents_ds, threshold: float = 0.8,
-                      broadcast_max_docs: int = 100_000):
+                      broadcast_max_docs: int = 100_000,
+                      bucket_cap: int = BUCKET_CAP):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
     Verification needs each pair's two texts. Fast path (candidate doc set
@@ -329,7 +341,11 @@ def minhash_lsh_dedup(documents_ds, threshold: float = 0.8,
 
     # candidate pairs are tiny vs the corpus: materialize so count + reuse
     # don't re-run the banding stage
-    pairs = minhash_candidate_pairs(documents_ds).select_columns(["doc_a", "doc_b"]).materialize()
+    pairs = (
+        minhash_candidate_pairs(documents_ds, bucket_cap=bucket_cap)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(empty)
@@ -403,7 +419,8 @@ def minhash_lsh_dedup(documents_ds, threshold: float = 0.8,
     return with_ab.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def near_dup_clusters(documents_ds, threshold: float = 0.8):
+def near_dup_clusters(documents_ds, threshold: float = 0.8,
+                      bucket_cap: int = BUCKET_CAP):
     """Cluster assignment over the near-duplicate graph: every document →
     the MIN doc_id of its connected component (cluster representative);
     docs with no near-dup edges map to themselves. The canonical
@@ -422,7 +439,7 @@ def near_dup_clusters(documents_ds, threshold: float = 0.8):
     """
     import ray
 
-    pairs = minhash_lsh_dedup(documents_ds, threshold=threshold)
+    pairs = minhash_lsh_dedup(documents_ds, threshold=threshold, bucket_cap=bucket_cap)
 
     parent: dict[int, int] = {}
 
@@ -575,7 +592,7 @@ _HAM_SCHEMA = pa.schema(
 )
 
 
-def simhash_dedup(documents_ds, max_hamming: int = 3):
+def simhash_dedup(documents_ds, max_hamming: int = 3, bucket_cap: int = BUCKET_CAP):
     """Near-dup pairs by simhash banding + Hamming verify. Same
     sorted-run plan as minhash_candidate_pairs (stages/groups.py)."""
     from parser_rdf_ray.stages.groups import grouped_run_map, sorted_distinct
@@ -584,17 +601,17 @@ def simhash_dedup(documents_ds, max_hamming: int = 3):
         order_all = np.argsort(group.column("doc_id").to_numpy())
         ids_all = group.column("doc_id").to_numpy()[order_all]
         hashes_all = group.column("simhash").to_numpy()[order_all]
-        order = _capped_ids(np.arange(len(ids_all)), "simhash")
+        order = _capped_ids(np.arange(len(ids_all)), "simhash", bucket_cap)
         ids, hashes = ids_all[order], hashes_all[order]
         ii, jj = np.triu_indices(len(ids), k=1)
         a, b = ids[ii], ids[jj]
         ha, hb = hashes[ii], hashes[jj]
-        if len(ids_all) > BUCKET_CAP:
-            ca_idx = np.arange(BUCKET_CAP - 1, len(ids_all) - 1)
-            a = np.concatenate([a, ids_all[ca_idx]])
-            b = np.concatenate([b, ids_all[ca_idx + 1]])
-            ha = np.concatenate([ha, hashes_all[ca_idx]])
-            hb = np.concatenate([hb, hashes_all[ca_idx + 1]])
+        if len(ids_all) > bucket_cap:
+            ci = _chain_index_pairs(len(ids_all), bucket_cap)
+            a = np.concatenate([a, ids_all[ci]])
+            b = np.concatenate([b, ids_all[ci + 1]])
+            ha = np.concatenate([ha, hashes_all[ci]])
+            hb = np.concatenate([hb, hashes_all[ci + 1]])
         xor = ha ^ hb
         ham = np.array([bin(int(x)).count("1") for x in xor], dtype=np.int32)
         keep = (ham <= max_hamming) & (a != b)

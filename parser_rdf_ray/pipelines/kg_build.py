@@ -217,18 +217,28 @@ def two_hop_path_counts(adjacency_ds, num_partitions: int | None = None):
 
 
 def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
-             round_to: int = 9):
+             round_to: int = 6):
     """Iterative PageRank over the KG's IRI edge set — the engine's
     iterative-convergence primitive (power iteration as n_iter rounds of
     Dataset joins, nothing ever on the driver).
 
     Semantics (matched EXACTLY by the SQL oracle, which unrolls the same
     iterations): nodes = IRIs appearing as src or dst of a distinct
-    (subj, obj) IRI edge; rank_0 = 1.0; rank_{t+1}(v) = round(
-    (1 - damping) + damping * Σ_{u→v} rank_t(u)/outdeg(u), round_to).
-    Dangling mass is dropped (standard simplification — both sides agree).
-    Per-iteration rounding pins the float trajectory so distributed
-    summation order cannot drift from the oracle's.
+    (subj, obj) IRI edge; ranks live in FIXED-POINT int64 micro-units
+    (scale = 10^round_to): rank_0 = scale (i.e. 1.0), and with
+    d = round(damping·100),
+
+        rank_{t+1}(v) = ((100-d)·scale)//100
+                        + (d · Σ_{u→v} rank_t(u)//outdeg(u)) // 100
+
+    Dangling mass is dropped (standard simplification — both sides
+    agree). Integer arithmetic makes every iteration ORDER-INDEPENDENT:
+    int64 sums are exactly associative, so distributed summation order
+    cannot flip a digit. (Float accumulation + per-iteration rounding was
+    tried first and FLAKED: a heavy accumulator node's sum landed within
+    1 ulp of a rounding boundary and the last digit differed run-to-run —
+    observed on rdfs:Class at sf0.01 at BOTH 9 and 6 dp.) Output rank =
+    rank_u / scale as float64, computed identically on both sides.
 
     Plan per iteration: a sorted-run MERGE-JOIN of edges with the rank
     table on src (tagged union → ONE range-partitioned sort; equal keys
@@ -297,7 +307,7 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
         return pa.Table.from_arrays(
             [
                 b.column("node"),
-                pa.array(np.zeros(n), pa.float64()),
+                pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
                 pa.nulls(n, pa.int64()),
             ],
             names=["node", "contrib", "outdeg"],
@@ -306,7 +316,11 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
     def deg_zero(b: pa.Table) -> pa.Table:
         n = b.num_rows
         return pa.Table.from_arrays(
-            [b.column("node"), pa.array(np.zeros(n), pa.float64()), b.column("outdeg")],
+            [
+                b.column("node"),
+                pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                b.column("outdeg"),
+            ],
             names=["node", "contrib", "outdeg"],
         )
 
@@ -314,21 +328,25 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
         base_deg.map_batches(deg_zero, batch_format="pyarrow", zero_copy_batch=True)
     ).materialize()
 
-    scale = 10.0 ** round_to
+    scale = 10 ** round_to
+    dnum = round(damping * 100)  # damping as an integer percentage
 
     def finish_ranks(b: pa.Table) -> pa.Table:
-        s = np.asarray(b.column("sum(contrib)").to_pylist(), dtype=np.float64)
-        raw = (1.0 - damping) + damping * s
-        # half-away-from-zero == DuckDB ROUND (values are positive here)
-        rank = np.floor(raw * scale + 0.5) / scale
+        s = (
+            b.column("sum(contrib)")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rank_u = ((100 - dnum) * scale) // 100 + (dnum * s) // 100
         deg = pc.cast(b.column("max(outdeg)"), pa.int64())
         node = pc.cast(b.column("node").combine_chunks(), pa.string())
         return pa.Table.from_arrays(
-            [node, pa.array(rank, pa.float64()), deg],
-            names=["node", "rank", "outdeg"],
+            [node, pa.array(rank_u, pa.int64()), deg],
+            names=["node", "rank_u", "outdeg"],
         )
 
-    # rank_0 = 1.0 for every node, with outdeg attached via the same union
+    # rank_0 = 1.0 (scale micro-units) per node, outdeg via the same union
     ranks = (
         base.groupby("node")
         .aggregate(Sum("contrib"), Max("outdeg"))
@@ -336,10 +354,10 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
             lambda b: pa.Table.from_arrays(
                 [
                     b.column("node"),
-                    pa.array(np.ones(b.num_rows), pa.float64()),
-                    b.column("max(outdeg)"),
+                    pa.array(np.full(b.num_rows, scale, dtype=np.int64), pa.int64()),
+                    pc.cast(b.column("max(outdeg)"), pa.int64()),
                 ],
-                names=["node", "rank", "outdeg"],
+                names=["node", "rank_u", "outdeg"],
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -353,10 +371,10 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
             ("key", pa.string()),
             ("kind", pa.int8()),
             ("dst", pa.string()),
-            ("weight", pa.float64()),
+            ("weight", pa.int64()),
         ]
     )
-    contrib_schema = pa.schema([("node", pa.string()), ("contrib", pa.float64())])
+    contrib_schema = pa.schema([("node", pa.string()), ("contrib", pa.int64())])
 
     def edge_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -365,7 +383,7 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
                 pc.cast(b.column("src").combine_chunks(), pa.string()),
                 pa.array(np.ones(n, dtype=np.int8), pa.int8()),
                 pc.cast(b.column("dst").combine_chunks(), pa.string()),
-                pa.nulls(n, pa.float64()),
+                pa.nulls(n, pa.int64()),
             ],
             schema=union_schema,
         )
@@ -382,21 +400,22 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
         weight = w_rows.column("weight")[0].as_py()
         es = run.filter(pc.equal(kinds, 1))
         return pa.Table.from_arrays(
-            [es.column("dst"), pa.array([weight] * es.num_rows, pa.float64())],
+            [es.column("dst"), pa.array([weight] * es.num_rows, pa.int64())],
             schema=contrib_schema,
         )
 
     for _ in range(n_iter):
         def weights(b: pa.Table) -> pa.Table:
             # Max() over an all-null partition yields a null-TYPED column;
-            # normalize to int64 before arithmetic
+            # normalize to int64 before arithmetic. Weight = integer FLOOR
+            # division rank_u // outdeg — the oracle uses the same // so
+            # both sides drop the identical sub-unit remainder.
             deg = pc.cast(b.column("outdeg"), pa.int64())
+            rank_u = pc.cast(b.column("rank_u"), pa.int64())
             w = pc.if_else(
                 pc.is_valid(deg),
-                pc.divide(
-                    b.column("rank"), pc.cast(pc.fill_null(deg, 1), pa.float64())
-                ),
-                pa.scalar(0.0, pa.float64()),
+                pc.divide(rank_u, pc.fill_null(deg, 1)),  # int64 // int64
+                pa.scalar(0, pa.int64()),
             )
             node = pc.cast(b.column("node").combine_chunks(), pa.string())
             n = len(node)
@@ -405,11 +424,11 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
                     node,
                     pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
                     pa.nulls(n, pa.string()),
-                    w,
+                    pc.cast(w, pa.int64()),
                 ],
                 schema=union_schema,
             )
-            return t.filter(pc.greater(t.column("weight"), 0.0))
+            return t.filter(pc.greater(t.column("weight"), 0))
 
         w_rows = ranks.map_batches(weights, batch_format="pyarrow", zero_copy_batch=True)
         contrib_pairs = grouped_run_map(
@@ -445,7 +464,15 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
             .materialize()
         )
 
-    return ranks.select_columns(["node", "rank"])
+    def to_rank(b: pa.Table) -> pa.Table:
+        rank = pc.divide(
+            pc.cast(b.column("rank_u"), pa.float64()), pa.scalar(float(scale))
+        )
+        return pa.Table.from_arrays(
+            [b.column("node"), rank], names=["node", "rank"]
+        )
+
+    return ranks.map_batches(to_rank, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def connected_components(adjacency_ds, max_iter: int = 50):
@@ -631,6 +658,14 @@ def connected_components(adjacency_ds, max_iter: int = 50):
         labels = state.select_columns(["node", "label"])
         if changed == 0:
             break
+    else:
+        # never silent: a graph with diameter > max_iter would otherwise
+        # return intermediate labels as if they were components
+        raise ValueError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); raise max_iter — the graph's "
+            "diameter exceeds the iteration budget"
+        )
 
     return labels.map_batches(
         lambda b: pa.Table.from_arrays(

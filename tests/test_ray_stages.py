@@ -216,25 +216,33 @@ class TestDedupOps:
         assert out[5] == out[2] == out[9] == 2  # component min
         assert out[7] == 7  # singleton maps to itself
 
-    def test_over_cap_bucket_keeps_cluster_connected(self, ray_session, monkeypatch):
-        """When a bucket exceeds BUCKET_CAP, quadratic pair emission is
-        truncated but chain edges must keep the bucket ONE component — an
-        exact-duplicate mega-cluster can never leak duplicates through
-        curation."""
+    def test_over_cap_bucket_keeps_cluster_connected(self, ray_session):
+        """When a bucket exceeds the cap, quadratic pair emission is
+        truncated but tail chain edges must keep an exact-duplicate bucket
+        ONE component — duplicates can never leak through curation.
+
+        bucket_cap is an explicit parameter (closure-captured into the
+        worker-side emitter): monkeypatching the module global would NOT
+        reach Ray workers (they re-import the module) and the test would
+        pass vacuously via full pair enumeration."""
         import ray.data
 
         from parser_rdf_ray.pipelines import dedup
 
-        monkeypatch.setattr(dedup, "BUCKET_CAP", 5)
         text = "identical content repeated for every single document here " * 3
         n = 12
         tbl = pa.Table.from_pydict(
             {"doc_id": list(range(100, 100 + n)), "text": [text] * n}
         )
-        out = (
-            dedup.near_dup_clusters(ray.data.from_arrow(tbl), threshold=0.8)
-            .to_pandas()
-        )
+        # the truncation genuinely engages: candidate pairs are capped
+        pairs = dedup.minhash_candidate_pairs(
+            ray.data.from_arrow(tbl), bucket_cap=5
+        ).to_pandas()
+        assert len(pairs) < n * (n - 1) // 2  # fewer than full quadratic
+        # ... yet the chain edges keep the bucket one component
+        out = dedup.near_dup_clusters(
+            ray.data.from_arrow(tbl), threshold=0.8, bucket_cap=5
+        ).to_pandas()
         assert set(out.cluster_rep) == {100}  # one component, min-id rep
         assert len(out) == n
 
@@ -976,10 +984,10 @@ class TestTwoHopPaths:
 class TestPageRank:
     def test_matches_reference_implementation(self, ray_session):
         """5 power iterations on a small digraph must equal the plain
-        single-process reference (same per-iteration rounding), including
-        a dangling node and a no-in-edge node."""
-        import math
-
+        single-process FIXED-POINT reference exactly (integer micro-units,
+        floor division — the order-independent arithmetic both the
+        pipeline and the SQL oracle use), including a dangling node and a
+        no-in-edge node."""
         import ray.data
 
         from parser_rdf_ray.pipelines.kg_build import pagerank
@@ -1003,17 +1011,16 @@ class TestPageRank:
         outdeg: dict = {}
         for u, _ in edges:
             outdeg[u] = outdeg.get(u, 0) + 1
-        ranks = {n: 1.0 for n in nodes}
+        scale = 10 ** 6
+        ranks = {n: scale for n in nodes}  # int micro-units
         for _ in range(5):
-            s = {n: 0.0 for n in nodes}
+            s = {n: 0 for n in nodes}
             for u, v in edges:
-                s[v] += ranks[u] / outdeg[u]
-            ranks = {
-                n: math.floor((0.15 + 0.85 * s[n]) * 1e9 + 0.5) / 1e9 for n in nodes
-            }
+                s[v] += ranks[u] // outdeg[u]
+            ranks = {n: (15 * scale) // 100 + (85 * s[n]) // 100 for n in nodes}
         assert set(got.index) == nodes
         for n in nodes:
-            assert abs(got[n] - ranks[n]) < 1e-12, n
+            assert got[n] == ranks[n] / scale, n  # exact float equality
         assert got["d"] == 0.15  # no in-edges → base rank only
 
     def test_empty_graph(self, ray_session):
