@@ -1088,9 +1088,13 @@ GROUP BY gram ORDER BY count DESC, gram LIMIT 100
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     )
 
-    # per-label mean embedding, long form (label, dim, value); the partial
-    # sums are float64 in a fixed (stable-sorted) order on both sides, and
-    # rounding to 6 decimals absorbs the remaining summation-order noise
+    # per-label mean embedding, long form (label, dim, value). Both sides
+    # round half-away-from-zero to 6 dp; summation-order noise in a
+    # ~500-element float64 sum is ~1e-14 absolute, so a rounding-boundary
+    # flip needs the true mean within 1e-14 of a 0.5e-6 boundary — odds
+    # ~2e-8 per value, ~1e-5 per 640-value sweep (accepted; contrast
+    # kg_pagerank, where a heavy accumulator made this likely enough to
+    # observe and the arithmetic was moved to exact integers)
     sql["embedding_centroids"] = (
         "SELECT CAST(label AS BIGINT) AS label, CAST(t.i AS BIGINT) AS dim, "
         "ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS value "
