@@ -330,20 +330,37 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
 
     scale = 10 ** round_to
     dnum = round(damping * 100)  # damping as an integer percentage
+    rank_schema = pa.schema(
+        [("node", pa.string()), ("rank_u", pa.int64()), ("outdeg", pa.int64())]
+    )
 
-    def finish_ranks(b: pa.Table) -> pa.Table:
-        s = (
-            b.column("sum(contrib)")
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+    def agg_block(b: pa.Table) -> pa.Table:
+        # per-block vectorized aggregation over co-partitioned node runs:
+        # exact int64 contribution sum + outdeg pickup + the fixed-point
+        # rank update, all in one pass (no per-node Python)
+        if b.num_rows == 0:
+            return rank_schema.empty_table()
+        import polars as pl
+
+        df = pl.from_arrow(b)
+        agg = df.group_by("node").agg(
+            pl.col("contrib").sum().alias("s"),
+            pl.col("outdeg").max().alias("outdeg"),
         )
-        rank_u = ((100 - dnum) * scale) // 100 + (dnum * s) // 100
-        deg = pc.cast(b.column("max(outdeg)"), pa.int64())
-        node = pc.cast(b.column("node").combine_chunks(), pa.string())
+        agg = agg.with_columns(
+            (
+                ((100 - dnum) * scale) // 100
+                + (dnum * pl.col("s")) // 100
+            ).alias("rank_u")
+        )
+        t = agg.to_arrow()
         return pa.Table.from_arrays(
-            [node, pa.array(rank_u, pa.int64()), deg],
-            names=["node", "rank_u", "outdeg"],
+            [
+                pc.cast(t.column("node").combine_chunks(), pa.string()),
+                pc.cast(t.column("rank_u").combine_chunks(), pa.int64()),
+                pc.cast(t.column("outdeg").combine_chunks(), pa.int64()),
+            ],
+            schema=rank_schema,
         )
 
     # rank_0 = 1.0 (scale micro-units) per node, outdeg via the same union
@@ -448,21 +465,15 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
         contrib_rows = contrib_pairs.map_batches(
             contribs, batch_format="pyarrow", zero_copy_batch=True
         )
-        merged = contrib_rows.union(base).groupby("node").aggregate(
-            Sum("contrib"), Max("outdeg")
+        # node runs are co-partitioned by the key-only sort; per-block
+        # polars group_by sums contributions and picks up outdeg —
+        # replaces a second sort-based groupby exchange (same plan as
+        # connected_components). materialize per iteration + fixed block
+        # count (state blocks otherwise double per round, 48 → 1008)
+        merged = contrib_rows.union(base).sort(["node"]).map_batches(
+            agg_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
-        # materialize per iteration (iterative state must execute each
-        # round) and repartition to a FIXED block count — without it the
-        # state's block count doubles every iteration (each stage's
-        # output block count tracks its input's) and wall time quadruples
-        # per round (measured on connected_components: 48 → 1008 blocks)
-        ranks = (
-            merged.map_batches(
-                finish_ranks, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .repartition(16)
-            .materialize()
-        )
+        ranks = merged.repartition(16).materialize()
 
     def to_rank(b: pa.Table) -> pa.Table:
         rank = pc.divide(
