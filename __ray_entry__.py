@@ -1176,15 +1176,27 @@ s AS (
   FROM o
 )
 SELECT user_id, CAST(sid AS BIGINT) AS session_idx, MIN(ts) AS session_start,
-       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_value
 FROM s GROUP BY user_id, sid
 """
 
+    # Money columns summed in exact INTEGER units (cents / cent·percent):
+    # integer sums are associative, so pipeline and oracle agree
+    # regardless of distributed summation order — float SUM + ROUND(…,3)
+    # flipped a final digit when a group's sum hit a rounding boundary
+    # (observed at sf0.001). quantity is integral, so its float sum was
+    # already exact.
+    # 3 dp rounding done IN INTEGERS ((u+5)//10 on the 1e-4-unit sums):
+    # half-away vs half-even float tie rules then never engage
     sql["rel_lineitem_agg"] = (
         "SELECT l_returnflag, l_linestatus, "
-        "ROUND(SUM(l_quantity), 3) AS sum_qty, "
-        "ROUND(SUM(l_extendedprice), 3) AS sum_base_price, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 "
+        "  AS sum_base_price, "
+        "CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) "
+        "  / 1000 AS sum_disc_price, "
         "COUNT(*) AS count_order "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     )
@@ -1202,9 +1214,12 @@ FROM s GROUP BY user_id, sid
         "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
     )
 
+    # value summed in exact 1e-6 integer units; 3 dp rounding in integers
     sql["rel_events_window"] = (
         "SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, "
-        "ROUND(SUM(value), 3) AS sum_value, COUNT(*) AS n_events "
+        "CAST((SUM(CAST(ROUND(value * 1000000) AS BIGINT)) + 500) // 1000 AS DOUBLE) "
+        "  / 1000 AS sum_value, "
+        "COUNT(*) AS n_events "
         "FROM events GROUP BY event_type, hour"
     )
 

@@ -27,51 +27,76 @@ def lineitem_agg(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
+    # Money columns are fixed-point decimals stored as floats (TPC-H
+    # semantics: extendedprice = exact cents, discount = exact percent,
+    # quantity integral — verified on the driver tables). Summing in
+    # INTEGER units makes every partial sum exactly associative, so the
+    # result is independent of distributed summation order — float sums
+    # rounded to 3 dp flipped a final digit run-to-run when a group's sum
+    # landed on a rounding boundary (observed at sf0.001). The SQL oracle
+    # uses the same integer units.
     def partial(batch: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        ep_cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64(),
         )
-        batch = batch.append_column("disc_price", disc_price)
-        grouped = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        disc_pct = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        # disc_price in 1e-4 units: cents × (100 - pct)
+        disc_u = pc.multiply(ep_cents, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        t = pa.Table.from_arrays(
             [
-                ("l_quantity", "sum"),
-                ("l_extendedprice", "sum"),
-                ("disc_price", "sum"),
-                ("l_quantity", "count"),
-            ]
+                batch.column("l_returnflag"),
+                batch.column("l_linestatus"),
+                qty,
+                ep_cents,
+                disc_u,
+            ],
+            names=["l_returnflag", "l_linestatus", "qty", "ep_cents", "disc_u"],
+        )
+        grouped = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("ep_cents", "sum"), ("disc_u", "sum"), ("qty", "count")]
         )
         return grouped.rename_columns(
-            [
-                "l_returnflag",
-                "l_linestatus",
-                "sum_qty",
-                "sum_base_price",
-                "sum_disc_price",
-                "count_order",
-            ]
+            ["l_returnflag", "l_linestatus", "qty", "ep_cents", "disc_u", "count_order"]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(group: pa.Table) -> pa.Table:
         agg = group.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [
-                ("sum_qty", "sum"),
-                ("sum_base_price", "sum"),
-                ("sum_disc_price", "sum"),
-                ("count_order", "sum"),
-            ]
+            [("qty", "sum"), ("ep_cents", "sum"), ("disc_u", "sum"), ("count_order", "sum")]
         )
-        return agg.rename_columns(
+        agg = agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "ep_cents", "disc_u", "count_order"]
+        )
+        # 3 dp half-away rounding IN INTEGERS ((u + 5) // 10 on 1e-4
+        # units): the tie rule then never touches floats — arrow's
+        # half-to-even vs DuckDB's half-away diverged on a real .xxx5 tie
+        disc_3dp = pc.divide(
+            pc.add(agg.column("disc_u"), pa.scalar(5, pa.int64())),
+            pa.scalar(10, pa.int64()),
+        )
+        return pa.Table.from_arrays(
             [
+                agg.column("l_returnflag"),
+                agg.column("l_linestatus"),
+                pc.cast(agg.column("qty"), pa.float64()),
+                pc.divide(pc.cast(agg.column("ep_cents"), pa.float64()), pa.scalar(100.0)),
+                pc.divide(pc.cast(disc_3dp, pa.float64()), pa.scalar(1000.0)),
+                agg.column("count_order"),
+            ],
+            names=[
                 "l_returnflag",
                 "l_linestatus",
                 "sum_qty",
                 "sum_base_price",
                 "sum_disc_price",
                 "count_order",
-            ]
+            ],
         )
 
     return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
@@ -198,21 +223,45 @@ def events_window_agg(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
+    # value is a fixed-point decimal stored as float (exact at 1e6 units,
+    # verified); summing integer micro-units makes the partial sums
+    # exactly associative — order-independent like rel_lineitem_agg
     def bucket(batch: pa.Table) -> pa.Table:
         hours = pc.hour(batch.column("ts"))
-        batch = batch.append_column("hour", pc.cast(hours, pa.int32()))
-        grouped = batch.group_by(["event_type", "hour"]).aggregate(
-            [("value", "sum"), ("value", "count")]
+        value_u = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(1_000_000.0))),
+            pa.int64(),
         )
-        return grouped.rename_columns(["event_type", "hour", "sum_value", "n_events"])
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"), pc.cast(hours, pa.int32()), value_u],
+            names=["event_type", "hour", "value_u"],
+        )
+        grouped = t.group_by(["event_type", "hour"]).aggregate(
+            [("value_u", "sum"), ("value_u", "count")]
+        )
+        return grouped.rename_columns(["event_type", "hour", "value_u", "n_events"])
 
     partials = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(group: pa.Table) -> pa.Table:
         agg = group.group_by(["event_type", "hour"]).aggregate(
-            [("sum_value", "sum"), ("n_events", "sum")]
+            [("value_u", "sum"), ("n_events", "sum")]
         )
-        return agg.rename_columns(["event_type", "hour", "sum_value", "n_events"])
+        agg = agg.rename_columns(["event_type", "hour", "value_u", "n_events"])
+        # 3 dp half-away in integers ((u + 500) // 1000 on 1e-6 units)
+        v3 = pc.divide(
+            pc.add(agg.column("value_u"), pa.scalar(500, pa.int64())),
+            pa.scalar(1000, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                agg.column("event_type"),
+                agg.column("hour"),
+                pc.divide(pc.cast(v3, pa.float64()), pa.scalar(1000.0)),
+                agg.column("n_events"),
+            ],
+            names=["event_type", "hour", "sum_value", "n_events"],
+        )
 
     return partials.groupby(["event_type", "hour"]).map_groups(final, batch_format="pyarrow")
 
@@ -251,7 +300,9 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         )
         run = run.take(order)
         ts = run.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
-        val = run.column("value").to_numpy()
+        # integer micro-units: the session sum is then exact, so the final
+        # /1e6 value is identical to the oracle's regardless of row order
+        val = np.round(run.column("value").to_numpy() * 1e6).astype(np.int64)
         new_session = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
             new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
@@ -265,7 +316,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
                 pa.array(ts[starts].astype("datetime64[us]"), pa.timestamp("us")),
                 pa.array(ends - starts, pa.int64()),
                 pa.array(
-                    np.round(np.add.reduceat(val, starts), 6), pa.float64()
+                    np.add.reduceat(val, starts) / 1e6, pa.float64()
                 ),
             ],
             schema=SESSIONS_SCHEMA,
