@@ -606,6 +606,13 @@ def _q_rel_topk_per_group(sf_dir: str):
     return topk_orders_per_segment(sf_dir, k=3)
 
 
+def _q_rel_asof_join(sf_dir: str):
+    # as-of join: latest same-user even event at-or-before each odd event
+    from parser_rdf_ray.pipelines.relational import asof_join_events
+
+    return asof_join_events(sf_dir)
+
+
 def _q_rel_events_window(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -678,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lineitem_agg": _q_rel_lineitem_agg,
         "rel_join_topk": _q_rel_join_topk,
         "rel_topk_per_group": _q_rel_topk_per_group,
+        "rel_asof_join": _q_rel_asof_join,
         "rel_events_window": _q_rel_events_window,
         "rel_sessions": _q_rel_sessions,
     }
@@ -1213,6 +1221,18 @@ FROM s GROUP BY user_id, sid
         "QUALIFY row_number() OVER (PARTITION BY c_mktsegment "
         "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
     )
+
+    # as-of join verified against DuckDB's NATIVE ASOF JOIN; right-side
+    # (user, ts) ties deduped to max event_id on both sides so the match
+    # is deterministic
+    sql["rel_asof_join"] = """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 1),
+r AS (SELECT user_id, event_id AS matched_event_id, value AS matched_value, ts
+      FROM events WHERE event_id % 2 = 0
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT l.user_id, l.event_id, l.ts, r.matched_event_id, r.matched_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
 
     # value summed in exact 1e-6 integer units; 3 dp rounding in integers
     sql["rel_events_window"] = (

@@ -323,3 +323,93 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         )
 
     return grouped_run_map(ds, ["user_id"], user_sessions, schema=SESSIONS_SCHEMA, min_run=1)
+
+
+ASOF_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("matched_event_id", pa.int64()),
+        ("matched_value", pa.float64()),
+    ]
+)
+
+
+def asof_join_events(sf_dir: str):
+    """AS-OF join — the time-series lookup Ray Data has no operator for:
+    for every LEFT event (odd event_id) attach the latest RIGHT event
+    (even event_id) of the SAME user with right.ts <= left.ts, or nulls
+    when none precedes it.
+
+    Plan: one key-only sort co-partitions each user's rows (left and
+    right tagged in a union — the engine's merge-join pattern), then a
+    per-run numpy searchsorted matches every left timestamp against the
+    user's sorted right timestamps at once: vectorized within runs, no
+    per-row Python, ONE exchange total. Right-side (user, ts) ties keep
+    the max event_id (deterministic; the oracle dedupes identically
+    before DuckDB's native ASOF JOIN).
+    """
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        side = pc.cast(
+            pc.bit_wise_and(pc.cast(batch.column("event_id"), pa.int64()), 1), pa.int8()
+        )  # 1 = left (odd), 0 = right (even)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("user_id"), pa.int64()),
+                side,
+                pc.cast(batch.column("event_id"), pa.int64()),
+                batch.column("ts"),
+                pc.cast(batch.column("value"), pa.float64()),
+            ],
+            names=["user_id", "side", "event_id", "ts", "value"],
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(run: pa.Table) -> pa.Table:
+        sides = run.column("side").to_numpy(zero_copy_only=False)
+        ts = run.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = run.column("event_id").to_numpy(zero_copy_only=False)
+        val = run.column("value").to_numpy(zero_copy_only=False)
+        uid = run.column("user_id")[0].as_py()
+
+        lmask = sides == 1
+        l_ts, l_eid = ts[lmask], eid[lmask]
+        if not len(l_ts):
+            return ASOF_SCHEMA.empty_table()
+        r_ts, r_eid, r_val = ts[~lmask], eid[~lmask], val[~lmask]
+        if len(r_ts):
+            # sort rights by (ts, event_id); equal-ts ties then resolve to
+            # the LAST row = max event_id, matching the oracle's dedup rule
+            order = np.lexsort((r_eid, r_ts))
+            r_ts, r_eid, r_val = r_ts[order], r_eid[order], r_val[order]
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            hit = idx >= 0
+            m_eid = np.where(hit, r_eid[np.clip(idx, 0, None)], -1)
+            m_val = np.where(hit, r_val[np.clip(idx, 0, None)], np.nan)
+        else:
+            hit = np.zeros(len(l_ts), dtype=bool)
+            m_eid = np.full(len(l_ts), -1, dtype=np.int64)
+            m_val = np.full(len(l_ts), np.nan)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(l_ts), uid, dtype=np.int64), pa.int64()),
+                pa.array(l_eid, pa.int64()),
+                pa.array(l_ts.astype("datetime64[us]"), pa.timestamp("us")),
+                pa.array([int(e) if h else None for e, h in zip(m_eid, hit)], pa.int64()),
+                pa.array([float(v) if h else None for v, h in zip(m_val, hit)], pa.float64()),
+            ],
+            schema=ASOF_SCHEMA,
+        )
+
+    return grouped_run_map(tagged, ["user_id"], per_user, schema=ASOF_SCHEMA, min_run=1)

@@ -981,6 +981,72 @@ class TestTwoHopPaths:
         assert two_hop_path_counts(empty).count() == 0
 
 
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, ray_session, tmp_path):
+        """Distributed as-of join must equal pandas merge_asof per user,
+        including equal-timestamp ties (max event_id wins) and left rows
+        with no preceding right row (nulls)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from parser_rdf_ray.pipelines.relational import asof_join_events
+
+        rng = np.random.RandomState(11)
+        rows = []
+        eid = 0
+        base = pd.Timestamp("2025-01-01")
+        for uid in range(6):
+            for _ in range(40):
+                rows.append(
+                    {
+                        "user_id": uid,
+                        "event_id": eid,
+                        "ts": base + pd.Timedelta(seconds=int(rng.randint(0, 5000))),
+                        "value": float(np.round(rng.rand(), 6)),
+                        "event_type": "x",
+                    }
+                )
+                eid += 1
+        df = pd.DataFrame(rows)
+        # force equal-ts ties within users on the right side
+        df.loc[2, "ts"] = df.loc[4, "ts"]
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "events.parquet")
+
+        got = asof_join_events(str(sf)).to_pandas()
+        got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+        l = df[df.event_id % 2 == 1][["user_id", "event_id", "ts"]]
+        r = (
+            df[df.event_id % 2 == 0]
+            .sort_values(["user_id", "ts", "event_id"])
+            .groupby(["user_id", "ts"], as_index=False)
+            .last()  # max event_id per (user, ts) — the tie rule
+            .rename(columns={"event_id": "matched_event_id", "value": "matched_value"})
+        )
+        expected_rows = []
+        for uid, lg in l.groupby("user_id"):
+            rg = r[r.user_id == uid].sort_values("ts")
+            m = pd.merge_asof(
+                lg.sort_values("ts"), rg[["ts", "matched_event_id", "matched_value"]],
+                on="ts", direction="backward",
+            )
+            expected_rows.append(m)
+        expected = (
+            pd.concat(expected_rows)
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(expected)
+        assert (got.user_id == expected.user_id).all()
+        assert (got.event_id == expected.event_id).all()
+        assert got.matched_event_id.fillna(-1).tolist() == expected.matched_event_id.fillna(-1).tolist()
+        assert got.matched_value.fillna(-1).tolist() == expected.matched_value.fillna(-1).tolist()
+        assert got.matched_event_id.isna().any()  # some left rows precede all rights
+
+
 class TestPageRank:
     def test_matches_reference_implementation(self, ray_session):
         """5 power iterations on a small digraph must equal the plain
