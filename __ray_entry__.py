@@ -613,6 +613,14 @@ def _q_rel_asof_join(sf_dir: str):
     return asof_join_events(sf_dir)
 
 
+def _q_rel_range_join(sf_dir: str):
+    # interval/band join: per odd event, count same-user even events in
+    # the (ts, ts+5min] window
+    from parser_rdf_ray.pipelines.relational import range_join_events
+
+    return range_join_events(sf_dir, window_minutes=5)
+
+
 def _q_rel_events_window(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -686,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_join_topk": _q_rel_join_topk,
         "rel_topk_per_group": _q_rel_topk_per_group,
         "rel_asof_join": _q_rel_asof_join,
+        "rel_range_join": _q_rel_range_join,
         "rel_events_window": _q_rel_events_window,
         "rel_sessions": _q_rel_sessions,
     }
@@ -1232,6 +1241,18 @@ r AS (SELECT user_id, event_id AS matched_event_id, value AS matched_value, ts
       QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
 SELECT l.user_id, l.event_id, l.ts, r.matched_event_id, r.matched_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    # range join: plain inequality-join SQL re-derives the window counts
+    sql["rel_range_join"] = """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 1),
+r AS (SELECT user_id, ts FROM events WHERE event_id % 2 = 0)
+SELECT l.user_id, l.event_id, l.ts,
+       CAST(COUNT(r.ts) AS BIGINT) AS n_following
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+GROUP BY l.user_id, l.event_id, l.ts
 """
 
     # value summed in exact 1e-6 integer units; 3 dp rounding in integers

@@ -413,3 +413,82 @@ def asof_join_events(sf_dir: str):
         )
 
     return grouped_run_map(tagged, ["user_id"], per_user, schema=ASOF_SCHEMA, min_run=1)
+
+
+RANGE_JOIN_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("n_following", pa.int64()),
+    ]
+)
+
+
+def range_join_events(sf_dir: str, window_minutes: int = 5):
+    """Range (interval) join — the band-join Ray Data has no operator for:
+    for every LEFT event (odd event_id) count the RIGHT events (even
+    event_id) of the SAME user falling in the half-open time window
+    (ts, ts + window]. The general pattern for interval containment /
+    proximity joins (each left row matches a right-side RANGE, not a key).
+
+    Same single-exchange plan as the as-of join: key-only sort
+    co-partitions each user's tagged rows, then per run TWO vectorized
+    searchsorted calls bound every left row's window in the user's sorted
+    right timestamps — counts are upper-lower index differences, no
+    per-row work, no quadratic pairing.
+    """
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    window_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        side = pc.cast(
+            pc.bit_wise_and(pc.cast(batch.column("event_id"), pa.int64()), 1), pa.int8()
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("user_id"), pa.int64()),
+                side,
+                pc.cast(batch.column("event_id"), pa.int64()),
+                batch.column("ts"),
+            ],
+            names=["user_id", "side", "event_id", "ts"],
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(run: pa.Table) -> pa.Table:
+        sides = run.column("side").to_numpy(zero_copy_only=False)
+        ts = run.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = run.column("event_id").to_numpy(zero_copy_only=False)
+        uid = run.column("user_id")[0].as_py()
+
+        lmask = sides == 1
+        l_ts, l_eid = ts[lmask], eid[lmask]
+        if not len(l_ts):
+            return RANGE_JOIN_SCHEMA.empty_table()
+        r_ts = np.sort(ts[~lmask])
+        if len(r_ts):
+            lo = np.searchsorted(r_ts, l_ts, side="right")          # > ts
+            hi = np.searchsorted(r_ts, l_ts + window_us, side="right")  # <= ts+w
+            counts = (hi - lo).astype(np.int64)
+        else:
+            counts = np.zeros(len(l_ts), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(l_ts), uid, dtype=np.int64), pa.int64()),
+                pa.array(l_eid, pa.int64()),
+                pa.array(l_ts.astype("datetime64[us]"), pa.timestamp("us")),
+                pa.array(counts, pa.int64()),
+            ],
+            schema=RANGE_JOIN_SCHEMA,
+        )
+
+    return grouped_run_map(tagged, ["user_id"], per_user, schema=RANGE_JOIN_SCHEMA, min_run=1)

@@ -1047,6 +1047,51 @@ class TestAsofJoin:
         assert got.matched_event_id.isna().any()  # some left rows precede all rights
 
 
+class TestRangeJoin:
+    def test_window_counts_match_brute_force(self, ray_session, tmp_path):
+        """Per-user searchsorted window counts must equal brute-force
+        counting, with half-open boundaries ((ts, ts+w]) exact."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from parser_rdf_ray.pipelines.relational import range_join_events
+
+        rng = np.random.RandomState(23)
+        base = pd.Timestamp("2025-01-01")
+        rows = []
+        for eid in range(200):
+            rows.append(
+                {
+                    "user_id": int(eid % 4),
+                    "event_id": eid,
+                    "ts": base + pd.Timedelta(seconds=int(rng.randint(0, 1200))),
+                    "value": 0.0,
+                    "event_type": "x",
+                }
+            )
+        df = pd.DataFrame(rows)
+        # exact boundary probe: a right event precisely at ts and at ts+w
+        df.loc[1, "ts"] = df.loc[0, "ts"] + pd.Timedelta(minutes=5)  # == ts+w: IN
+        df.loc[2, "ts"] = df.loc[3, "ts"]                            # == ts: OUT
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "events.parquet")
+
+        got = (
+            range_join_events(str(sf), window_minutes=5)
+            .to_pandas()
+            .set_index("event_id")["n_following"]
+        )
+        w = pd.Timedelta(minutes=5)
+        for _, lrow in df[df.event_id % 2 == 1].iterrows():
+            rights = df[(df.event_id % 2 == 0) & (df.user_id == lrow.user_id)]
+            expected = int(
+                ((rights.ts > lrow.ts) & (rights.ts <= lrow.ts + w)).sum()
+            )
+            assert got[lrow.event_id] == expected, lrow.event_id
+
+
 class TestPageRank:
     def test_matches_reference_implementation(self, ray_session):
         """5 power iterations on a small digraph must equal the plain
