@@ -240,17 +240,18 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
     observed on rdfs:Class at sf0.01 at BOTH 9 and 6 dp.) Output rank =
     rank_u / scale as float64, computed identically on both sides.
 
-    Plan per iteration: a sorted-run MERGE-JOIN of edges with the rank
-    table on src (tagged union → ONE range-partitioned sort; equal keys
-    are co-partitioned, the same guarantee every exchange in this engine
-    rests on) emits per-edge contributions, then ONE groupby(node) over
-    contributions ∪ zero-base rows — the union trick gives no-in-edge
-    nodes their (1-d) base without an outer join, and Max(outdeg) rides
-    along so the next iteration needs no extra join. 2 exchanges per
-    iteration, edge- and node-sized only. (ds.join was measured and
-    rejected here: its hash-shuffle aggregators choke on the schema-less
-    empty blocks aggregate stages emit, and they hang at low CPU counts —
-    see BASELINE.md.)
+    Plan: the iteration-invariant edge relation is pinned ONCE as
+    src-range partitions (stages/edgejoin.py — the src-sorted blocks stay
+    in plasma; only refs + first keys sit on the driver). Per iteration,
+    each rank batch hash-joins onto the few edge partitions overlapping
+    its node range and pre-sums contributions per dst (map-side combine),
+    then ONE node-sized sort aggregates contributions ∪ zero-base rows —
+    the union trick gives no-in-edge nodes their (1-d) base without an
+    outer join, and Max(outdeg) rides along so the next iteration needs
+    no extra join. 1 exchange per iteration, node-sized only; edges never
+    re-shuffle. (ds.join was measured and rejected here: its hash-shuffle
+    aggregators choke on the schema-less empty blocks aggregate stages
+    emit, and they hang at low CPU counts — see BASELINE.md.)
     """
     import numpy as np
     import pyarrow as pa
@@ -381,99 +382,76 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
         )
     )
 
-    from parser_rdf_ray.stages.groups import grouped_run_map
+    from parser_rdf_ray.stages.edgejoin import edge_join_fn, pin_sorted_blocks
+    from parser_rdf_ray.tuning import shuffle_parallelism
 
-    union_schema = pa.schema(
-        [
-            ("key", pa.string()),
-            ("kind", pa.int8()),
-            ("dst", pa.string()),
-            ("weight", pa.int64()),
-        ]
-    )
+    # pin the iteration-invariant edge relation ONCE: edges is already
+    # globally src-sorted (sorted_distinct), so its materialized blocks
+    # ARE contiguous src-range partitions — no per-iteration edge exchange
+    firsts, part_refs = pin_sorted_blocks(edges, "src")
     contrib_schema = pa.schema([("node", pa.string()), ("contrib", pa.int64())])
 
-    def edge_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
+    def contrib_combine(joined):
+        # map-side combine: sum int64 contributions per dst locally, so
+        # the node-sized exchange carries partials, not one row per edge
+        import polars as pl
+
+        agg = joined.group_by("dst").agg(pl.col("weight").sum().alias("contrib"))
+        t = agg.to_arrow()
         return pa.Table.from_arrays(
             [
-                pc.cast(b.column("src").combine_chunks(), pa.string()),
-                pa.array(np.ones(n, dtype=np.int8), pa.int8()),
-                pc.cast(b.column("dst").combine_chunks(), pa.string()),
-                pa.nulls(n, pa.int64()),
+                pc.cast(t.column("dst").combine_chunks(), pa.string()),
+                pc.cast(t.column("contrib").combine_chunks(), pa.int64()),
             ],
-            schema=union_schema,
-        )
-
-    edge_rows = edges.map_batches(
-        edge_side, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    def attach(run: pa.Table) -> pa.Table:
-        kinds = run.column("kind")
-        w_rows = run.filter(pc.equal(kinds, 0))
-        if w_rows.num_rows == 0:  # src with no (positive) rank weight
-            return contrib_schema.empty_table()
-        weight = w_rows.column("weight")[0].as_py()
-        es = run.filter(pc.equal(kinds, 1))
-        return pa.Table.from_arrays(
-            [es.column("dst"), pa.array([weight] * es.num_rows, pa.int64())],
             schema=contrib_schema,
         )
 
+    join_fn = edge_join_fn(firsts, part_refs, "node", contrib_combine, contrib_schema)
+    # fixed state block count per round (blocks otherwise double per
+    # iteration, measured 48 → 1008); sized to the cluster, not hardcoded
+    state_parts = shuffle_parallelism()
+
+    def weights(b: pa.Table) -> pa.Table:
+        # Max() over an all-null partition yields a null-TYPED column;
+        # normalize to int64 before arithmetic. Weight = integer FLOOR
+        # division rank_u // outdeg — the oracle uses the same // so
+        # both sides drop the identical sub-unit remainder.
+        deg = pc.cast(b.column("outdeg"), pa.int64())
+        rank_u = pc.cast(b.column("rank_u"), pa.int64())
+        w = pc.if_else(
+            pc.is_valid(deg),
+            pc.divide(rank_u, pc.fill_null(deg, 1)),  # int64 // int64
+            pa.scalar(0, pa.int64()),
+        )
+        node = pc.cast(b.column("node").combine_chunks(), pa.string())
+        t = pa.Table.from_arrays(
+            [node, pc.cast(w, pa.int64())], names=["node", "weight"]
+        )
+        return t.filter(pc.greater(t.column("weight"), 0))
+
+    def contribs(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("node"),
+                b.column("contrib"),
+                pa.nulls(b.num_rows, pa.int64()),
+            ],
+            names=["node", "contrib", "outdeg"],
+        )
+
     for _ in range(n_iter):
-        def weights(b: pa.Table) -> pa.Table:
-            # Max() over an all-null partition yields a null-TYPED column;
-            # normalize to int64 before arithmetic. Weight = integer FLOOR
-            # division rank_u // outdeg — the oracle uses the same // so
-            # both sides drop the identical sub-unit remainder.
-            deg = pc.cast(b.column("outdeg"), pa.int64())
-            rank_u = pc.cast(b.column("rank_u"), pa.int64())
-            w = pc.if_else(
-                pc.is_valid(deg),
-                pc.divide(rank_u, pc.fill_null(deg, 1)),  # int64 // int64
-                pa.scalar(0, pa.int64()),
-            )
-            node = pc.cast(b.column("node").combine_chunks(), pa.string())
-            n = len(node)
-            t = pa.Table.from_arrays(
-                [
-                    node,
-                    pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
-                    pa.nulls(n, pa.string()),
-                    pc.cast(w, pa.int64()),
-                ],
-                schema=union_schema,
-            )
-            return t.filter(pc.greater(t.column("weight"), 0))
-
         w_rows = ranks.map_batches(weights, batch_format="pyarrow", zero_copy_batch=True)
-        contrib_pairs = grouped_run_map(
-            edge_rows.union(w_rows), ["key"], attach, schema=contrib_schema, min_run=2
-        )
-
-        def contribs(b: pa.Table) -> pa.Table:
-            return pa.Table.from_arrays(
-                [
-                    b.column("node"),
-                    b.column("contrib"),
-                    pa.nulls(b.num_rows, pa.int64()),
-                ],
-                names=["node", "contrib", "outdeg"],
-            )
-
-        contrib_rows = contrib_pairs.map_batches(
-            contribs, batch_format="pyarrow", zero_copy_batch=True
-        )
+        contrib_rows = w_rows.map_batches(
+            join_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True)
         # node runs are co-partitioned by the key-only sort; per-block
         # polars group_by sums contributions and picks up outdeg —
-        # replaces a second sort-based groupby exchange (same plan as
-        # connected_components). materialize per iteration + fixed block
-        # count (state blocks otherwise double per round, 48 → 1008)
+        # the ONE exchange per iteration. materialize keeps the state
+        # sorted, which is what makes the join's range pruning effective.
         merged = contrib_rows.union(base).sort(["node"]).map_batches(
             agg_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
-        ranks = merged.repartition(16).materialize()
+        ranks = merged.repartition(state_parts).materialize()
 
     def to_rank(b: pa.Table) -> pa.Table:
         rank = pc.divide(
@@ -493,10 +471,11 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     scale), run as min-label propagation to an EXACT fixpoint.
 
     Per iteration (all engine primitives, no driver state): propagate each
-    node's label across its edges with the sorted-run merge-join, take
-    groupby(node).min over propagated ∪ current labels, then detect
-    convergence with one more sorted-run compare (count of changed
-    nodes == 0 → stop). Labels are monotonically non-increasing, so the
+    node's label across its edges with a hash join against the pinned
+    src-range edge partitions (stages/edgejoin.py — edges never
+    re-shuffle), take groupby(node).min over propagated ∪ current labels,
+    then detect convergence with one more sorted-run compare (count of
+    changed nodes == 0 → stop). Labels are monotonically non-increasing, so the
     fixpoint is the true component minimum; iterations needed ≈ graph
     diameter. The SQL oracle computes the same closure with a recursive
     reachability CTE — independent of iteration count, so convergence
@@ -506,7 +485,9 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
-    from parser_rdf_ray.stages.groups import grouped_run_map, sorted_distinct
+    from parser_rdf_ray.stages.edgejoin import edge_join_fn, pin_sorted_blocks
+    from parser_rdf_ray.stages.groups import sorted_distinct
+    from parser_rdf_ray.tuning import shuffle_parallelism
 
     def iri_edges(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("obj_kind"), "iri"))
@@ -532,53 +513,28 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     if edges.count() == 0:
         return ray.data.from_arrow(empty)
 
-    union_schema = pa.schema(
-        [
-            ("key", pa.string()),
-            ("kind", pa.int8()),
-            ("dst", pa.string()),
-            ("label", pa.string()),
-        ]
-    )
     prop_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
 
-    def edge_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
+    # pin the iteration-invariant edge relation ONCE as src-range
+    # partitions (stages/edgejoin.py); per-iteration label propagation is
+    # a hash join against only the overlapping partitions plus a map-side
+    # min-combine per dst — no edge-sized exchange per round
+    firsts, part_refs = pin_sorted_blocks(edges, "src")
+
+    def prop_combine(joined):
+        import polars as pl
+
+        agg = joined.group_by("dst").agg(pl.col("label").min())
+        t = agg.to_arrow()
         return pa.Table.from_arrays(
             [
-                b.column("src"),
-                pa.array(np.ones(n, dtype=np.int8), pa.int8()),
-                b.column("dst"),
-                pa.nulls(n, pa.string()),
+                pc.cast(t.column("dst").combine_chunks(), pa.string()),
+                pc.cast(t.column("label").combine_chunks(), pa.string()),
             ],
-            schema=union_schema,
-        )
-
-    edge_rows = edges.map_batches(
-        edge_side, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    def label_side(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        node = pc.cast(b.column("node").combine_chunks(), pa.string())
-        label = pc.cast(b.column("label").combine_chunks(), pa.string())
-        return pa.Table.from_arrays(
-            [node, pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
-             pa.nulls(n, pa.string()), label],
-            schema=union_schema,
-        )
-
-    def propagate(run: pa.Table) -> pa.Table:
-        kinds = run.column("kind")
-        lab_rows = run.filter(pc.equal(kinds, 0))
-        if lab_rows.num_rows == 0:
-            return prop_schema.empty_table()
-        label = lab_rows.column("label")[0].as_py()
-        es = run.filter(pc.equal(kinds, 1))
-        return pa.Table.from_arrays(
-            [es.column("dst"), pa.array([label] * es.num_rows, pa.string())],
             schema=prop_schema,
         )
+
+    join_fn = edge_join_fn(firsts, part_refs, "node", prop_combine, prop_schema)
 
     def self_labels(b: pa.Table) -> pa.Table:
         node = pc.cast(b.column("node").combine_chunks(), pa.string())
@@ -599,7 +555,8 @@ def connected_components(adjacency_ds, max_iter: int = 50):
 
     # state rows tagged is_old so ONE sorted-run scan per iteration both
     # min-aggregates the candidate labels AND detects per-node change —
-    # 2 exchanges per round total (propagate sort + this), and the
+    # 1 exchange per round total (propagation is an exchange-free pinned-
+    # partition join; only this node-sized sort shuffles), and the
     # convergence count is a free scan of the already-materialized state
     state_schema = pa.schema(
         [("node", pa.string()), ("label", pa.string()), ("changed", pa.int64())]
@@ -644,15 +601,14 @@ def connected_components(adjacency_ds, max_iter: int = 50):
 
         return f
 
+    # fixed state block count per round (blocks otherwise double per
+    # iteration, measured 48 → 1008, wall time quadrupling); sized to the
+    # cluster via shuffle_parallelism, not hardcoded
+    state_parts = shuffle_parallelism()
+
     for _ in range(max_iter):
-        prop = grouped_run_map(
-            edge_rows.union(
-                labels.map_batches(label_side, batch_format="pyarrow", zero_copy_batch=True)
-            ),
-            ["key"],
-            propagate,
-            schema=prop_schema,
-            min_run=2,
+        prop = labels.map_batches(
+            join_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         tagged = prop.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
             labels.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
@@ -661,10 +617,7 @@ def connected_components(adjacency_ds, max_iter: int = 50):
             min_and_diff_block, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         )
-        # repartition to a FIXED block count: each stage's output block
-        # count tracks its input's, so loop state otherwise doubles blocks
-        # per round (measured 48 → 1008, wall time quadrupling)
-        state = state.repartition(16).materialize()
+        state = state.repartition(state_parts).materialize()
         changed = int(state.sum("changed"))  # scan of materialized blocks
         labels = state.select_columns(["node", "label"])
         if changed == 0:

@@ -1,0 +1,84 @@
+"""Stationary edge partitions for iterative graph loops (pagerank,
+connected components).
+
+An iterative loop's edge relation is iteration-INVARIANT, yet the round-2
+plan re-sorted it inside every grouped_run_map call — an edge-sized
+all-to-all exchange per round. Here the edge table, already globally
+src-sorted and materialized (sorted_distinct output), is pinned ONCE as
+plasma block refs plus each block's first key: the sorted blocks ARE
+contiguous src-range partitions. Each per-iteration join task reads only
+the edge partitions overlapping its label batch's [min, max] node range
+(zero-copy ``ray.get`` from the local object store; on a multi-node
+cluster a bounded broadcast read of a few blocks, never an all-to-all),
+hash-joins labels onto edges in polars, and pre-aggregates per dst BEFORE
+the one remaining node-sized exchange (map-side combine). Net effect:
+per-iteration exchanges drop from 2 (edge-sized sort + node-sized sort)
+to 1 node-sized sort, and the former per-src-run Python "attach" calls
+become one vectorized join per batch.
+
+Correctness does not depend on label batches being range-clustered: a
+batch spanning the whole key space simply fetches every partition (slow
+but right). Range-clustering — loop state is kept node-sorted by the
+per-iteration sort — is what makes the pruning effective.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pin_sorted_blocks(ds, key_col: str):
+    """(first_keys, block_refs) of a key-sorted MATERIALIZED dataset.
+
+    Block refs stay in the object store (only the refs + one first-key
+    string per block come to the driver — bounded by block count). Empty
+    blocks are dropped.
+    """
+    import ray
+
+    refs = [
+        br for bundle in ds.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+    @ray.remote
+    def first_key(block: pa.Table):
+        return block.column(key_col)[0].as_py() if block.num_rows else None
+
+    firsts = ray.get([first_key.remote(r) for r in refs])
+    kept = [(f, r) for f, r in zip(firsts, refs) if f is not None]
+    return [f for f, _ in kept], [r for _, r in kept]
+
+
+def edge_join_fn(firsts, refs, node_col: str, combine, out_schema: pa.Schema):
+    """Build a map_batches fn joining ``batch[node_col]`` onto the pinned
+    src-sorted edge partitions. ``combine(joined: polars.DataFrame) ->
+    pa.Table`` performs the local map-side pre-aggregation (sum / min per
+    dst) so the downstream exchange carries at most one row per (batch,
+    dst) instead of one per edge."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or not refs:
+            return out_schema.empty_table()
+        import polars as pl
+        import ray
+
+        mm = pc.min_max(batch.column(node_col))
+        lo_key, hi_key = mm["min"].as_py(), mm["max"].as_py()
+        # lo backs up one partition: a src run can span a block boundary,
+        # so the partition whose FIRST key follows lo_key may be preceded
+        # by blocks still holding rows for lo_key. Over-fetch is ≤ 1 block.
+        lo = max(0, bisect.bisect_left(firsts, lo_key) - 1)
+        hi = max(lo, bisect.bisect_right(firsts, hi_key) - 1)
+        parts = ray.get(list(refs[lo : hi + 1]))
+        edges = pa.concat_tables(parts)
+        joined = pl.from_arrow(edges).join(
+            pl.from_arrow(batch), left_on="src", right_on=node_col, how="inner"
+        )
+        if joined.height == 0:
+            return out_schema.empty_table()
+        return combine(joined)
+
+    return fn

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from parser_rdf_ray.extract import entities as ent
 from parser_rdf_ray.extract import xmlfallback
@@ -250,65 +251,124 @@ class ExtractPrefixes(_ExtractBase):
 
 
 # --- global entity merge (W1 at dataset scope) -----------------------------
+#
+# All three merges run as ONE range-partitioned sort on the key (equal keys
+# co-partitioned — the same engine pin stages/canonicalize.py rests on)
+# followed by a per-BLOCK polars group_by. Every scalar/list field merges
+# inside the polars kernel; per-group Python touches only the nested-JSON
+# payloads (label maps, annotations, constraints), whose merge is inherently
+# a dict operation. The merge stays associative + commutative + idempotent
+# (field-wise set-union, en-preferred label recomputation), so salted
+# partial merges remain safe to retry and resume.
 
 
-def _merge_class_group(df):
-    """Associative/commutative/idempotent merge of one uri's class rows
-    (pandas group). Field-wise: labels/descriptions key-union (sorted for
-    determinism), list fields sorted set-union, label recomputed
-    en-preferred from the merged labels map."""
-    import pandas as pd
+def _sorted_block_merge(ds, key_cols, block_fn, schema):
+    """groupby(key_cols) → vectorized per-block merge: one sort
+    co-partitions every key, then block_fn collapses a whole block's groups
+    in a single polars group_by (no per-group pandas frames, no map_groups
+    dispatch)."""
+    from parser_rdf_ray.tuning import tune_data_context
 
-    uri = df["uri"].iloc[0]
-    labels: dict = {}
-    descriptions: dict = {}
-    for j in sorted(df["labels_json"]):
-        labels.update(json.loads(j))
-    for j in sorted(df["descriptions_json"]):
-        descriptions.update(json.loads(j))
+    tune_data_context()
+    ds = ds.sort(key_cols)
 
-    def union(col):
-        out = set()
-        for v in df[col]:
-            out.update(v if v is not None else [])
-        return sorted(out)
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        return block_fn(batch)
 
-    anns = []
-    seen = set()
-    for j in sorted(set(df["annotations_json"])):
-        for a in json.loads(j):
-            key = (a.get("property"), a.get("value"), a.get("lang"))
-            if key not in seen:
-                seen.add(key)
-                anns.append(a)
-
-    scalar_labels = sorted(v for v in df["label"] if v is not None)
-    label = labels.get("en") or (
-        sorted(labels.values())[0] if labels else (scalar_labels[0] if scalar_labels else None)
+    return ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    scalar_descs = sorted(v for v in df["description"] if v is not None)
-    description = descriptions.get("en") or (
-        sorted(descriptions.values())[0]
-        if descriptions
-        else (scalar_descs[0] if scalar_descs else None)
-    )
-    return pd.DataFrame(
-        [
-            {
-                "uri": uri,
-                "label": label,
-                "labels_json": json.dumps(labels, sort_keys=True),
-                "description": description,
-                "descriptions_json": json.dumps(descriptions, sort_keys=True),
-                "parent_classes": union("parent_classes"),
-                "types": union("types"),
-                "see_also": union("see_also"),
-                "is_defined_by": union("is_defined_by"),
-                "annotations_json": json.dumps(anns, sort_keys=True),
-                "n_docs": int(df["doc_id"].nunique()),
-            }
+
+
+def _merge_json_maps(json_lists, fallback_mins):
+    """Per group: merge unique-sorted JSON maps (later keys override in
+    json-string sort order — identical to the former row-at-a-time
+    dict.update over sorted rows) and compute the en-preferred display
+    value, falling back to min merged value, then min scalar."""
+    merged_out, display_out = [], []
+    for js, fmin in zip(json_lists, fallback_mins):
+        m: dict = {}
+        for j in js:
+            m.update(json.loads(j))
+        merged_out.append(json.dumps(m, sort_keys=True))
+        display_out.append(m.get("en") or (min(m.values()) if m else fmin))
+    return merged_out, display_out
+
+
+def _merge_annotation_lists(json_lists):
+    """Per group: first-seen dedup of annotation records by
+    (property, value, lang) across the unique-sorted JSON lists."""
+    out = []
+    for js in json_lists:
+        anns, seen = [], set()
+        for j in js:
+            for a in json.loads(j):
+                key = (a.get("property"), a.get("value"), a.get("lang"))
+                if key not in seen:
+                    seen.add(key)
+                    anns.append(a)
+        out.append(json.dumps(anns, sort_keys=True))
+    return out
+
+
+_CLASS_LIST_COLS = ["parent_classes", "types", "see_also", "is_defined_by"]
+
+
+def _class_merge_block(mode: str):
+    """Per-block class merge. mode: 'plain' (n_docs = distinct doc_id),
+    'partial' (adds representative doc_id + n_docs_partial for phase 2),
+    'final' (n_docs = sum of phase-1 partial counts)."""
+    schema = PARTIAL_CLASSES_SCHEMA if mode == "partial" else MERGED_CLASSES_SCHEMA
+    keys = ["uri", "salt"] if mode == "partial" else ["uri"]
+
+    def block(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b)
+        aggs = [
+            pl.col("labels_json").unique().sort().alias("_ljs"),
+            pl.col("descriptions_json").unique().sort().alias("_djs"),
+            pl.col("annotations_json").unique().sort().alias("_ajs"),
+            pl.col("label").drop_nulls().min().alias("_lmin"),
+            pl.col("description").drop_nulls().min().alias("_dmin"),
+        ] + [
+            pl.col(c).explode().drop_nulls().unique().sort().alias(c)
+            for c in _CLASS_LIST_COLS
         ]
-    )
+        if mode == "final":
+            aggs.append(pl.col("n_docs_partial").sum().alias("n_docs"))
+        else:
+            aggs.append(pl.col("doc_id").n_unique().alias("n_docs"))
+        if mode == "partial":
+            aggs.append(pl.col("doc_id").min().alias("_docrep"))
+        agg = df.group_by(keys, maintain_order=True).agg(aggs)
+        labels_json, label = _merge_json_maps(
+            agg["_ljs"].to_list(), agg["_lmin"].to_list()
+        )
+        descs_json, desc = _merge_json_maps(
+            agg["_djs"].to_list(), agg["_dmin"].to_list()
+        )
+        anns_json = _merge_annotation_lists(agg["_ajs"].to_list())
+        t = agg.to_arrow()
+        cols = {
+            "uri": pc.cast(t.column("uri").combine_chunks(), pa.string()),
+            "label": pa.array(label, pa.string()),
+            "labels_json": pa.array(labels_json, pa.string()),
+            "description": pa.array(desc, pa.string()),
+            "descriptions_json": pa.array(descs_json, pa.string()),
+            "annotations_json": pa.array(anns_json, pa.string()),
+            "n_docs": pc.cast(t.column("n_docs").combine_chunks(), pa.int64()),
+        }
+        for c in _CLASS_LIST_COLS:
+            cols[c] = pc.cast(t.column(c).combine_chunks(), pa.list_(pa.string()))
+        if mode == "partial":
+            cols["doc_id"] = pc.cast(t.column("_docrep").combine_chunks(), pa.string())
+            cols["n_docs_partial"] = cols["n_docs"]
+        return pa.Table.from_arrays([cols[f.name] for f in schema], schema=schema)
+
+    return block
 
 
 _MERGED_CLASS_FIELDS = [
@@ -330,19 +390,6 @@ PARTIAL_CLASSES_SCHEMA = pa.schema(
 )
 
 
-def _run_map_pandas(ds, key_cols, fn, schema):
-    """groupby(key_cols) → per-group pandas merge, executed as ONE
-    range-partitioned sort + per-run calls (stages/groups.py) instead of
-    Ray's map_groups per-group dispatch — same result, one fewer internal
-    exchange, and no per-group pandas-subframe machinery."""
-    from parser_rdf_ray.stages.groups import grouped_run_map
-
-    def run_fn(run: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(fn(run.to_pandas()), schema=schema, preserve_index=False)
-
-    return grouped_run_map(ds, key_cols, run_fn, schema=schema, min_run=1)
-
-
 def merge_classes_global(ds, salt_buckets: int = 0):
     """Cross-document class canonicalization: groupby(uri) → field-wise merge.
 
@@ -352,78 +399,46 @@ def merge_classes_global(ds, salt_buckets: int = 0):
     if salt_buckets and salt_buckets > 1:
 
         def add_salt(batch: pa.Table) -> pa.Table:
-            import hashlib
+            # vectorized doc_id → bucket hash; only within-run determinism
+            # is required (same contract as MinHashBands). Salt is a pure
+            # function of doc_id, so one doc's rows land in ONE bucket and
+            # the phase-1 distinct-doc counts sum exactly in phase 2.
+            import polars as pl
 
-            salts = [
-                int(hashlib.blake2b(d.encode(), digest_size=2).hexdigest(), 16)
-                % salt_buckets
-                for d in batch.column("doc_id").to_pylist()
-            ]
-            return batch.append_column("salt", pa.array(salts, pa.int32()))
-
-        def partial(df):
-            out = _merge_class_group(df)
-            out["doc_id"] = df["doc_id"].iloc[0]  # representative for n_docs pass
-            out["n_docs_partial"] = int(df["doc_id"].nunique())
-            return out
+            salt = (
+                pl.from_arrow(batch.select(["doc_id"]))
+                .with_columns(
+                    (pl.col("doc_id").hash(seed=17) % salt_buckets)
+                    .cast(pl.Int32)
+                    .alias("salt")
+                )["salt"]
+                .to_arrow()
+            )
+            return batch.append_column("salt", pc.cast(salt, pa.int32()))
 
         ds = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-        ds = _run_map_pandas(ds, ["uri", "salt"], partial, PARTIAL_CLASSES_SCHEMA)
+        ds = _sorted_block_merge(
+            ds, ["uri", "salt"], _class_merge_block("partial"), PARTIAL_CLASSES_SCHEMA
+        )
+        return _sorted_block_merge(
+            ds, ["uri"], _class_merge_block("final"), MERGED_CLASSES_SCHEMA
+        )
 
-        def final(df):
-            out = _merge_class_group(df)
-            out["n_docs"] = int(df["n_docs_partial"].sum())
-            return out
+    return _sorted_block_merge(
+        ds, ["uri"], _class_merge_block("plain"), MERGED_CLASSES_SCHEMA
+    )
 
-        return _run_map_pandas(ds, ["uri"], final, MERGED_CLASSES_SCHEMA)
 
-    return _run_map_pandas(ds, ["uri"], _merge_class_group, MERGED_CLASSES_SCHEMA)
+_PROP_LIST_COLS = ["domain", "range", "parent_properties", "inverse_of"]
+_PTYPE_RANK = {"object": 0, "annotation": 1, "datatype": 2}
+_PTYPE_FROM_RANK = {0: "object", 1: "annotation", 2: "datatype"}
 
 
 def merge_properties_global(ds):
     """Cross-document property canonicalization (W1): field-wise merge
     per uri. property_type resolution order object > annotation > datatype
-    mirrors the reference's first-match semantics deterministically."""
-    import pandas as pd
-
-    def merge(df):
-        labels: dict = {}
-        for j in sorted(df["labels_json"]):
-            labels.update(json.loads(j))
-
-        def union(col):
-            out = set()
-            for v in df[col]:
-                out.update(v if v is not None else [])
-            return sorted(out)
-
-        ptypes = set(df["property_type"])
-        ptype = (
-            "object" if "object" in ptypes else
-            "annotation" if "annotation" in ptypes else
-            "datatype"
-        )
-        scalar_labels = sorted(v for v in df["label"] if v is not None)
-        label = labels.get("en") or (
-            sorted(labels.values())[0] if labels else (scalar_labels[0] if scalar_labels else None)
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "uri": df["uri"].iloc[0],
-                    "label": label,
-                    "labels_json": json.dumps(labels, sort_keys=True),
-                    "property_type": ptype,
-                    "domain": union("domain"),
-                    "range": union("range"),
-                    "parent_properties": union("parent_properties"),
-                    "inverse_of": union("inverse_of"),
-                    "is_functional": bool(df["is_functional"].any()),
-                    "n_docs": int(df["doc_id"].nunique()),
-                }
-            ]
-        )
-
+    mirrors the reference's first-match semantics, vectorized as a rank-min
+    (unknown types rank as datatype, matching the former else-branch)."""
     schema = pa.schema(
         [
             ("uri", pa.string()),
@@ -438,39 +453,50 @@ def merge_properties_global(ds):
             ("n_docs", pa.int64()),
         ]
     )
-    return _run_map_pandas(ds, ["uri"], merge, schema)
+
+    def block(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b)
+        aggs = [
+            pl.col("labels_json").unique().sort().alias("_ljs"),
+            pl.col("label").drop_nulls().min().alias("_lmin"),
+            pl.col("property_type")
+            .replace_strict(_PTYPE_RANK, default=2, return_dtype=pl.Int32)
+            .min()
+            .alias("_pt"),
+            pl.col("is_functional").any().alias("is_functional"),
+            pl.col("doc_id").n_unique().alias("n_docs"),
+        ] + [
+            pl.col(c).explode().drop_nulls().unique().sort().alias(c)
+            for c in _PROP_LIST_COLS
+        ]
+        agg = df.group_by("uri", maintain_order=True).agg(aggs)
+        labels_json, label = _merge_json_maps(
+            agg["_ljs"].to_list(), agg["_lmin"].to_list()
+        )
+        ptype = [_PTYPE_FROM_RANK[r] for r in agg["_pt"].to_list()]
+        t = agg.to_arrow()
+        cols = {
+            "uri": pc.cast(t.column("uri").combine_chunks(), pa.string()),
+            "label": pa.array(label, pa.string()),
+            "labels_json": pa.array(labels_json, pa.string()),
+            "property_type": pa.array(ptype, pa.string()),
+            "is_functional": pc.cast(
+                t.column("is_functional").combine_chunks(), pa.bool_()
+            ),
+            "n_docs": pc.cast(t.column("n_docs").combine_chunks(), pa.int64()),
+        }
+        for c in _PROP_LIST_COLS:
+            cols[c] = pc.cast(t.column(c).combine_chunks(), pa.list_(pa.string()))
+        return pa.Table.from_arrays([cols[f.name] for f in schema], schema=schema)
+
+    return _sorted_block_merge(ds, ["uri"], block, schema)
 
 
 def merge_shapes_global(ds):
     """Cross-document shape canonicalization: first-non-null scalars
     (deterministic via doc_id ordering), constraint-map key-union."""
-    import pandas as pd
-
-    def merge(df):
-        df = df.sort_values("doc_id")
-        constraints: dict = {}
-        for j in df["constraints_json"]:
-            constraints.update(json.loads(j))
-
-        def first_non_null(col):
-            for v in df[col]:
-                if v is not None:
-                    return v
-            return None
-
-        return pd.DataFrame(
-            [
-                {
-                    "uri": df["uri"].iloc[0],
-                    "label": first_non_null("label"),
-                    "target_class": first_non_null("target_class"),
-                    "target_property": first_non_null("target_property"),
-                    "constraints_json": json.dumps(constraints, sort_keys=True),
-                    "n_docs": int(df["doc_id"].nunique()),
-                }
-            ]
-        )
-
     schema = pa.schema(
         [
             ("uri", pa.string()),
@@ -481,7 +507,43 @@ def merge_shapes_global(ds):
             ("n_docs", pa.int64()),
         ]
     )
-    return _run_map_pandas(ds, ["uri"], merge, schema)
+
+    def block(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        # stable (uri, doc_id) sort so first-non-null and the constraint
+        # dict.update order are doc_id-deterministic within each group
+        b = b.sort_by([("uri", "ascending"), ("doc_id", "ascending")])
+        df = pl.from_arrow(b)
+        agg = df.group_by("uri", maintain_order=True).agg(
+            pl.col("label").drop_nulls().first().alias("label"),
+            pl.col("target_class").drop_nulls().first().alias("target_class"),
+            pl.col("target_property").drop_nulls().first().alias("target_property"),
+            pl.col("constraints_json").alias("_cjs"),
+            pl.col("doc_id").n_unique().alias("n_docs"),
+        )
+        constraints = []
+        for js in agg["_cjs"].to_list():
+            m: dict = {}
+            for j in js:
+                m.update(json.loads(j))
+            constraints.append(json.dumps(m, sort_keys=True))
+        t = agg.to_arrow()
+        cols = {
+            "uri": pc.cast(t.column("uri").combine_chunks(), pa.string()),
+            "label": pc.cast(t.column("label").combine_chunks(), pa.string()),
+            "target_class": pc.cast(
+                t.column("target_class").combine_chunks(), pa.string()
+            ),
+            "target_property": pc.cast(
+                t.column("target_property").combine_chunks(), pa.string()
+            ),
+            "constraints_json": pa.array(constraints, pa.string()),
+            "n_docs": pc.cast(t.column("n_docs").combine_chunks(), pa.int64()),
+        }
+        return pa.Table.from_arrays([cols[f.name] for f in schema], schema=schema)
+
+    return _sorted_block_merge(ds, ["uri"], block, schema)
 
 
 ENTITIES_SCHEMA = pa.schema(
