@@ -73,8 +73,14 @@ def edge_join_fn(firsts, refs, node_col: str, combine, out_schema: pa.Schema):
         lo = max(0, bisect.bisect_left(firsts, lo_key) - 1)
         hi = max(lo, bisect.bisect_right(firsts, hi_key) - 1)
         parts = ray.get(list(refs[lo : hi + 1]))
-        edges = pa.concat_tables(parts)
-        joined = pl.from_arrow(edges).join(
+        # concat in polars, not pyarrow: polars-sorted blocks come back as
+        # large_string while map outputs are string (CLAUDE.md hazard) and
+        # pa.concat_tables refuses the mix; polars unifies both to str
+        frames = [pl.from_arrow(p) for p in parts if p.num_rows]
+        if not frames:
+            return out_schema.empty_table()
+        edges = pl.concat(frames) if len(frames) > 1 else frames[0]
+        joined = edges.join(
             pl.from_arrow(batch), left_on="src", right_on=node_col, how="inner"
         )
         if joined.height == 0:
