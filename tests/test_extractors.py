@@ -308,15 +308,16 @@ class TestParserLevel:
         # RdfParserPipelineTest.php:30-83 — same extraction across 4 formats
         import pathlib
 
+        fixtures = pathlib.Path("/root/reference/tests/Fixtures/Integration")
+        if not fixtures.is_dir():
+            pytest.skip("reference tree not mounted")
         for name, fmt in [
             ("sample.ttl", "turtle"),
             ("sample.nt", "n-triples"),
             ("sample.jsonld", "json-ld"),
             ("sample.rdf", "rdf/xml"),
         ]:
-            content = pathlib.Path(
-                "/root/reference/tests/Fixtures/Integration", name
-            ).read_text()
+            content = (fixtures / name).read_text()
             r = parse_document(content)
             assert r["format"] == fmt, name
             assert "http://example.org/Person" in r["classes"], name

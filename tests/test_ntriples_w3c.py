@@ -15,7 +15,10 @@ import pytest
 from parser_rdf_ray.formats import ntriples
 from parser_rdf_ray.model import ParseError
 
-FIXTURES = pathlib.Path("/root/reference/tests/Fixtures/W3c/NTriples")
+# vendored copy of the public W3C RDF 1.1 N-Triples test suite
+# (https://www.w3.org/2013/N-TriplesTests/) — the suite must not depend on
+# the reference tree being mounted
+FIXTURES = pathlib.Path(__file__).parent / "fixtures" / "w3c_ntriples"
 
 # The manifest is the authoritative test list (the reference suite reads it
 # too; two stray literal_{true,false}.nt files on disk are not in it)

@@ -47,6 +47,8 @@ def _pr(got: set, expected: set) -> tuple[float, float]:
 
 @pytest.mark.parametrize("name", ["sample.nt", "sample.ttl", "sample.rdf", "sample.jsonld"])
 def test_reference_fixture_triple_pr(name):
+    if not INTEGRATION.is_dir():
+        pytest.skip("reference tree not mounted")
     result = parse_document((INTEGRATION / name).read_text())
     got = {(t.subj, t.pred, t.obj) for t in result["triples"]}
     precision, recall = _pr(got, EXPECTED_FIXTURE_TRIPLES)
