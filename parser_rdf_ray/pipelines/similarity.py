@@ -25,6 +25,25 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """Arrow (fixed_size_)list<float> column → (n, dim) float64 ndarray
+    with NO per-row Python lists: flatten() exposes the value buffer,
+    to_numpy reads it zero-copy (floats, no nulls), one reshape. The
+    former to_pylist() materialized n × dim Python floats per batch."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    return vals.astype(np.float64, copy=False).reshape(n, -1)
+
+
+def _i64(col) -> np.ndarray:
+    """Arrow int column → int64 ndarray without to_pylist."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
 class BruteForceScorer:
     """Broadcast-scoring stage. Lazy dereference: the instance ships to
     each task holding only the ObjectRef; the first batch in a worker does
@@ -51,8 +70,8 @@ class BruteForceScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._ensure()
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vec_ids = _i64(batch.column("vec_id"))
+        emb = _emb_matrix(batch.column("embedding"))
         if emb.size == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
@@ -92,11 +111,10 @@ def knn_brute_force(embeddings_ds, queries: dict[int, list[float]], k: int = 10)
 
     # final reduce: partials are tiny (n_queries × k × n_blocks)
     def topk_per_query(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas()
-        df = df.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        order = group.sort_by(
+            [("cosine", "descending"), ("vec_id", "ascending")]
+        )
+        return order.slice(0, min(k, order.num_rows))
 
     return partials.groupby("query_id").map_groups(topk_per_query, batch_format="pyarrow")
 
@@ -118,7 +136,7 @@ class LshBucketer:
         return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(batch.column("embedding"))
         buckets = self.bucket_of(emb) if emb.size else np.array([], dtype=np.int64)
         return batch.append_column("bucket", pa.array(buckets, pa.int64()))
 
@@ -132,8 +150,8 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.95, dim: int = 64):
     )
 
     def in_bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = _normalize(np.array(group.column("embedding").to_pylist(), dtype=np.float64))
+        ids = _i64(group.column("vec_id"))
+        emb = _normalize(_emb_matrix(group.column("embedding")))
         order = np.argsort(ids)
         ids, emb = ids[order], emb[order]
         n = len(ids)
@@ -186,8 +204,8 @@ def embedding_near_dup_exact(embeddings_ds, threshold: float = 0.4):
 
     @ray.remote
     def prep(block: pa.Table):
-        ids = np.asarray(block.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = _normalize(np.array(block.column("embedding").to_pylist(), dtype=np.float64))
+        ids = _i64(block.column("vec_id"))
+        mat = _normalize(_emb_matrix(block.column("embedding")))
         return ids, mat
 
     preps = [prep.remote(r) for r in block_refs]
@@ -240,8 +258,8 @@ def label_centroids(embeddings_ds, dim: int = 64, round_to: int = 6):
     count). Only (labels × dim) doubles ever shuffle, never the vectors.
     """
     def partials(batch: pa.Table) -> pa.Table:
-        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        labels = _i64(batch.column("label"))
+        emb = _emb_matrix(batch.column("embedding"))
         if emb.size == 0:
             return pa.Table.from_arrays(
                 [
@@ -269,7 +287,7 @@ def label_centroids(embeddings_ds, dim: int = 64, round_to: int = 6):
 
     def combine(group: pa.Table) -> pa.Table:
         label = group.column("label")[0].as_py()
-        sums = np.array(group.column("vec_sum").to_pylist(), dtype=np.float64)
+        sums = _emb_matrix(group.column("vec_sum"))
         n = int(np.sum(group.column("n").to_numpy()))
         raw = sums.sum(axis=0) / n
         # round HALF-AWAY-FROM-ZERO to match DuckDB ROUND (np.round is

@@ -15,7 +15,6 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_WS_RE = re.compile(r"\s+")
 # BPE-ish subword splitter: words, numbers, punctuation runs
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
 
@@ -53,11 +52,13 @@ def token_count(documents_ds):
 
 
 def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
-    """Compiled-regex BPE-ish token counting."""
-    texts = batch.column("text").to_pylist()
-    counts = [len(_BPE_RE.findall(t)) for t in texts]
+    """BPE-ish token counting as ONE Arrow regex kernel. The alternatives
+    in _BPE_RE match disjoint character classes, so RE2's leftmost-longest
+    and Python's leftmost-first find the identical non-overlapping match
+    set — count_substring_regex equals len(findall)."""
+    counts = pc.count_substring_regex(batch.column("text"), _BPE_RE.pattern)
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(counts, pa.int64())],
+        [batch.column("doc_id"), pc.cast(counts, pa.int64())],
         names=["doc_id", "n_bpe_tokens"],
     )
 
@@ -137,31 +138,52 @@ def quality_score(documents_ds):
 
 
 class LangId:
-    """Stopword-profile language classifier (actor-friendly: profiles built
-    once in __init__)."""
+    """Stopword-profile language classifier, vectorized end-to-end: ONE
+    flatten of the whitespace token lists, one lower + is_in against the
+    union vocabulary, a polars distinct + group_by for the per-(doc, lang)
+    DISTINCT stopword hits (set semantics — 'the the' counts once), then a
+    per-lang best-score sweep over numpy arrays (profile dict order breaks
+    ties, same as the former scalar loop). No per-row Python anywhere."""
 
     def __init__(self):
+        self.langs = list(_LANG_PROFILES)
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.vocab = sorted(set().union(*_LANG_PROFILES.values()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs, scores = [], []
-        for t in texts:
-            tokens = set(w.lower() for w in _WS_RE.split(t) if w)
-            best_lang, best = "unknown", 0.0
-            for lang, prof in self.profiles.items():
-                if not tokens:
-                    continue
-                score = len(tokens & prof) / len(prof)
-                if score > best:
-                    best_lang, best = lang, score
-            langs.append(best_lang)
-            scores.append(best)
+        import numpy as np
+        import polars as pl
+
+        n = batch.num_rows
+        toks = ws_tokens(batch.column("text"))
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = np.asarray(pc.list_value_length(flat).fill_null(0), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        low = pc.utf8_lower(flat.flatten())
+        hits = pl.DataFrame(
+            {"doc": doc_idx, "tok": pl.from_arrow(low)}
+        ).filter(pl.col("tok").is_in(self.vocab)).unique()
+        best = np.zeros(n, dtype=np.float64)
+        best_lang = np.full(n, "unknown", dtype=object)
+        if hits.height:
+            agg = hits.group_by("doc").agg(
+                *[
+                    pl.col("tok").is_in(sorted(prof)).sum().alias(lang)
+                    for lang, prof in self.profiles.items()
+                ]
+            )
+            docs = agg["doc"].to_numpy()
+            for lang in self.langs:
+                s = np.zeros(n, dtype=np.float64)
+                s[docs] = agg[lang].to_numpy() / len(self.profiles[lang])
+                upd = s > best
+                best[upd] = s[upd]
+                best_lang[upd] = lang
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
-                pa.array(langs, pa.string()),
-                pa.array(scores, pa.float64()),
+                pa.array(best_lang, pa.string()),
+                pa.array(best, pa.float64()),
             ],
             names=["doc_id", "lang_pred", "lang_score"],
         )
