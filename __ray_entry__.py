@@ -854,6 +854,13 @@ def oracle_sql() -> dict[str, str]:
     # detection probability for a jaccard≥0.8 pair is 1-(1-0.8^4)^32
     # ≈ 1-5e-8 — the pipeline's verified output equals the exact
     # word-3-gram-jaccard≥0.8 pair set on this corpus (checked at sf0.01).
+    # CONTRACT (unlike dedup_simhash, there is no structural pigeonhole
+    # guarantee): this equality is a checked property of THIS corpus, not
+    # of the algorithm. It additionally requires every LSH bucket ≤
+    # BUCKET_CAP (pair enumeration is truncated beyond). If the driver's
+    # corpus generator or the scale ever changes, re-validate with
+    # pipelines/dedup.minhash_bucket_audit(docs) — exactness holds iff
+    # overcap_buckets == 0 (pinned by TestBucketAudit at both sf scales).
     sql["dedup_minhash"] = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
@@ -1105,18 +1112,23 @@ GROUP BY gram ORDER BY count DESC, gram LIMIT 100
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     )
 
-    # per-label mean embedding, long form (label, dim, value). Both sides
-    # round half-away-from-zero to 6 dp; summation-order noise in a
-    # ~500-element float64 sum is ~1e-14 absolute, so a rounding-boundary
-    # flip needs the true mean within 1e-14 of a 0.5e-6 boundary — odds
-    # ~2e-8 per value, ~1e-5 per 640-value sweep (accepted; contrast
-    # kg_pagerank, where a heavy accumulator made this likely enough to
-    # observe and the arithmetic was moved to exact integers)
+    # per-label mean embedding, long form (label, dim, value), computed to
+    # 6 dp over 1e-6-QUANTIZED elements: each element is rounded half-away
+    # to int64 micro-units (a pure per-element function — both sides do
+    # the identical float64 multiply + round), summed exactly in integers
+    # (order-free), and the mean is rounded half-away IN INTEGERS. No
+    # order-dependent float sum survives anywhere, so the float-SUM+ROUND
+    # boundary-flip class (CLAUDE.md) cannot occur — this was the last
+    # float-boundary oracle in the suite.
     sql["embedding_centroids"] = (
-        "SELECT CAST(label AS BIGINT) AS label, CAST(t.i AS BIGINT) AS dim, "
-        "ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS value "
-        "FROM embeddings CROSS JOIN range(1, 65) t(i) "
-        "GROUP BY label, t.i"
+        "WITH q AS (SELECT label, t.i AS dim, "
+        "CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS qv "
+        "FROM embeddings CROSS JOIN range(1, 65) t(i)), "
+        "s AS (SELECT label, dim, SUM(qv) AS sq, COUNT(*) AS n FROM q GROUP BY label, dim) "
+        "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+        "CAST(CASE WHEN sq >= 0 THEN (2 * sq + n) // (2 * n) "
+        "ELSE -((-2 * sq + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS value "
+        "FROM s"
     )
 
     # IVF/LSH ANN verified END-TO-END in SQL: the seeded hyperplanes are

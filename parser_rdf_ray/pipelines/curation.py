@@ -88,3 +88,34 @@ def curate_corpus(
         return batch.filter(keep).select(["doc_id"])
 
     return clusters.map_batches(keep_reps, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def curation_report(
+    documents_ds,
+    min_tokens: int = 20,
+    min_alpha: float = 0.6,
+    threshold: float = 0.8,
+) -> dict:
+    """curate_corpus plus the numbers an operator needs to TRUST the run:
+    docs in, quality survivors, kept representatives, and the LSH
+    bucket-size audit (pipelines/dedup.minhash_bucket_audit). A non-zero
+    ``overcap_buckets`` means pair enumeration was truncated and near-dup
+    clusters may have split — the condition that silently weakens curation
+    on a pathological corpus is surfaced here at the pipeline-output
+    level, not just in worker logs."""
+    from parser_rdf_ray.pipelines.dedup import minhash_bucket_audit
+
+    survivors = quality_filter(documents_ds, min_tokens, min_alpha).materialize()
+    clusters = near_dup_clusters(survivors, threshold=threshold)
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("cluster_rep"), batch.column("doc_id"))
+        return batch.filter(keep).select(["doc_id"])
+
+    kept = clusters.map_batches(keep_reps, batch_format="pyarrow", zero_copy_batch=True)
+    return {
+        "docs_in": documents_ds.count(),
+        "quality_survivors": survivors.count(),
+        "kept": kept.count(),
+        **minhash_bucket_audit(survivors),
+    }

@@ -240,6 +240,71 @@ def minhash_candidate_pairs(documents_ds, bucket_cap: int = BUCKET_CAP):
     return sorted_distinct(pairs, ["doc_a", "doc_b"])
 
 
+_AUDIT_SCHEMA = pa.schema(
+    [
+        ("n_buckets", pa.int64()),
+        ("max_bucket", pa.int64()),
+        ("overcap_buckets", pa.int64()),
+        ("dropped_pairs", pa.int64()),
+    ]
+)
+
+
+def minhash_bucket_audit(documents_ds, bucket_cap: int = BUCKET_CAP) -> dict:
+    """Global LSH bucket-size audit — the quadratic-guard truncation as
+    pipeline-level numbers instead of worker-log lines.
+
+    The dedup_minhash pair set (and everything composed on it: clusters,
+    curation) is EXACT only while ``overcap_buckets == 0``; this audit is
+    how a corpus/scale change gets re-validated (see the dedup_minhash
+    oracle comment in __ray_entry__.py). Opt-in extra exchange: one
+    (band, bucket) sort of the band table, per-block vectorized run
+    lengths (equal keys are co-partitioned by the sort), one tiny partial
+    stats row per block, summed on the driver. ``dropped_pairs`` uses the
+    same quad-minus-cap-quad formula _capped_ids logs.
+    """
+    from parser_rdf_ray.collect import bounded_take_all
+    from parser_rdf_ray.stages.groups import run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    bands = documents_ds.map_batches(
+        MinHashBands(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    srt = bands.sort(["band_id", "bucket"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _AUDIT_SCHEMA.empty_table()
+        starts, ends = run_spans(batch, ["band_id", "bucket"])
+        lens = (ends - starts).astype(np.int64)
+        over = lens[lens > bucket_cap]
+        dropped = int(
+            (over * (over - 1) // 2 - bucket_cap * (bucket_cap - 1) // 2).sum()
+        )
+        return pa.Table.from_pydict(
+            {
+                "n_buckets": [len(lens)],
+                "max_bucket": [int(lens.max())],
+                "overcap_buckets": [len(over)],
+                "dropped_pairs": [dropped],
+            },
+            schema=_AUDIT_SCHEMA,
+        )
+
+    stats = srt.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    rows = bounded_take_all(stats, what="minhash bucket-audit partials", ceiling=1_000_000)
+    return {
+        "n_buckets": sum(r["n_buckets"] for r in rows),
+        "max_bucket": max((r["max_bucket"] for r in rows), default=0),
+        "overcap_buckets": sum(r["overcap_buckets"] for r in rows),
+        "dropped_pairs": sum(r["dropped_pairs"] for r in rows),
+        "bucket_cap": bucket_cap,
+    }
+
+
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     sa, sb = set(_shingles(text_a, k)), set(_shingles(text_b, k))
     if not sa and not sb:
@@ -451,7 +516,11 @@ def near_dup_clusters(documents_ds, threshold: float = 0.8,
             parent[x], x = root, parent[x]
         return root
 
-    for r in pairs.take_all():
+    # bounded: the docstring's smallness argument, asserted — beyond the
+    # ceiling, switch to the iterative min-label propagation named above
+    from parser_rdf_ray.collect import bounded_take_all
+
+    for r in bounded_take_all(pairs, what="verified near-dup pair collect", ceiling=5_000_000):
         ra, rb = find(r["doc_a"]), find(r["doc_b"])
         if ra != rb:
             winner, loser = (ra, rb) if ra < rb else (rb, ra)

@@ -130,6 +130,14 @@ def incremental_merge_pruned(
     # delta rows never visit the driver. Per-group dispatch is fine here:
     # group count is bounded by the partition count, not the row count.
     def merge_partition(group: pa.Table) -> pa.Table:
+        # Runs INSIDE a Ray worker task, so src/dst paths must be visible
+        # from every node: single-node here; on a multi-node cluster the
+        # checkpoint dir must live on a shared filesystem (NFS/FUSE-mounted
+        # object store). Output is deterministic, so a Ray task RETRY
+        # re-writing the same file is benign — and the tmp-file + atomic
+        # rename below means a retry killed mid-write can never leave a
+        # torn parquet file at the final path.
+        import os
         import pyarrow.parquet as pq
 
         pid = group.column("pid")[0].as_py()
@@ -140,7 +148,9 @@ def incremental_merge_pruned(
         merged = pa.concat_tables([existing, add])
         merged = merged.sort_by([(c, "ascending") for c in identity])
         merged = canon.drop_consecutive_dup_rows(merged)
-        pq.write_table(merged, dst_paths[pid])
+        tmp = dst_paths[pid] + f".tmp.{os.getpid()}"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, dst_paths[pid])
         return pa.Table.from_pydict(
             {"pid": [pid], "rows_out": [merged.num_rows], "delta_rows": [group.num_rows]},
             schema=pa.schema(
@@ -149,8 +159,12 @@ def incremental_merge_pruned(
         )
 
     t0 = time.time()
+    from parser_rdf_ray.collect import bounded_take_all
+
     stats = delta.groupby("pid").map_groups(merge_partition, batch_format="pyarrow")
-    stat_rows = stats.take_all()  # one tiny row per touched partition
+    # one tiny row per touched partition; ceiling = a loud failure if the
+    # partition count itself ever stops being driver-small
+    stat_rows = bounded_take_all(stats, what="incremental-merge partition stats", ceiling=1_000_000)
     merged_rows = {r["pid"]: r["rows_out"] for r in stat_rows}
     delta_rows_routed = sum(r["delta_rows"] for r in stat_rows)
 

@@ -98,10 +98,15 @@ def build_kg(
         # the kg_resolved pipeline at sf0.1).
         triples = triples.materialize()
 
+    from parser_rdf_ray.collect import bounded_take_all
+
     edges: list[tuple[str, str]] = []
     if alias_dict:
+        # bounded: link pairs ≤ |alias_dict| distinct mentions × their
+        # matched URIs — dictionary-scale, not corpus-scale
         links = link_mod.linker_stage(triples, alias_dict)
-        edges.extend((r["mention_uri"], r["canonical_uri"]) for r in links.take_all())
+        rows = bounded_take_all(links, what="entity-link pair collect", ceiling=5_000_000)
+        edges.extend((r["mention_uri"], r["canonical_uri"]) for r in rows)
     if resolve_sameas:
         edges.extend(link_mod.sameas_edges(triples))
     if edges:

@@ -257,6 +257,8 @@ def label_centroids(embeddings_ds, dim: int = 64, round_to: int = 6):
     (map_groups is fine here: group count == label cardinality, not row
     count). Only (labels × dim) doubles ever shuffle, never the vectors.
     """
+    scale = 10 ** round_to
+
     def partials(batch: pa.Table) -> pa.Table:
         labels = _i64(batch.column("label"))
         emb = _emb_matrix(batch.column("embedding"))
@@ -264,20 +266,28 @@ def label_centroids(embeddings_ds, dim: int = 64, round_to: int = 6):
             return pa.Table.from_arrays(
                 [
                     pa.array([], pa.int64()),
-                    pa.array([], pa.list_(pa.float64())),
+                    pa.array([], pa.list_(pa.int64())),
                     pa.array([], pa.int64()),
                 ],
                 names=["label", "vec_sum", "n"],
             )
+        # Per-element quantization to 10^-round_to units BEFORE summing.
+        # Each element's round is a pure function of that element (both
+        # sides compute the identical float64 product and half-away round),
+        # and int64 sums are exactly associative — so the whole aggregate
+        # is order-free and the float-SUM+ROUND flake class (CLAUDE.md) is
+        # designed out, at the cost of defining the centroid over 1e-6-
+        # quantized inputs (≤5e-7 per-element difference from the true mean).
+        q = (np.sign(emb) * np.floor(np.abs(emb) * scale + 0.5)).astype(np.int64)
         order = np.argsort(labels, kind="stable")
-        labels, emb = labels[order], emb[order]
+        labels, q = labels[order], q[order]
         starts = np.flatnonzero(np.diff(labels, prepend=labels[0] - 1))
-        sums = np.add.reduceat(emb, starts, axis=0)
+        sums = np.add.reduceat(q, starts, axis=0)
         counts = np.diff(np.append(starts, len(labels)))
         return pa.Table.from_arrays(
             [
                 pa.array(labels[starts], pa.int64()),
-                pa.array(list(sums), pa.list_(pa.float64())),
+                pa.array(list(sums), pa.list_(pa.int64())),
                 pa.array(counts, pa.int64()),
             ],
             names=["label", "vec_sum", "n"],
@@ -287,13 +297,15 @@ def label_centroids(embeddings_ds, dim: int = 64, round_to: int = 6):
 
     def combine(group: pa.Table) -> pa.Table:
         label = group.column("label")[0].as_py()
-        sums = _emb_matrix(group.column("vec_sum"))
+        arr = group.column("vec_sum")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        sums = arr.flatten().to_numpy(zero_copy_only=False).reshape(len(arr), -1)
+        s = sums.astype(np.int64, copy=False).sum(axis=0)
         n = int(np.sum(group.column("n").to_numpy()))
-        raw = sums.sum(axis=0) / n
-        # round HALF-AWAY-FROM-ZERO to match DuckDB ROUND (np.round is
-        # half-to-even and diverges at exact .5 boundaries, e.g. 1/128)
-        scale = 10.0 ** round_to
-        mean = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
+        # integer half-away rounding of s/n: (2|s|+n) // (2n), re-signed —
+        # no float enters until the final exact /scale (units < 2^53)
+        units = np.where(s >= 0, (2 * s + n) // (2 * n), -((-2 * s + n) // (2 * n)))
+        mean = units / float(scale)
         dims = np.arange(1, len(mean) + 1)
         return pa.Table.from_arrays(
             [

@@ -187,8 +187,16 @@ def build_rename_map(edges: list[tuple[str, str]]) -> dict[str, str]:
 
 
 def sameas_edges(triples_ds) -> list[tuple[str, str]]:
-    """Collect owl:sameAs edges (tiny vs the triple set) to the driver."""
+    """Collect owl:sameAs edges (tiny vs the triple set) to the driver.
+
+    Bounded collect: sameAs assertions are authored metadata, orders of
+    magnitude rarer than triples. A corpus that breaks the bound needs the
+    distributed union-find alternative (iterative min-label propagation,
+    see pipelines/kg_build.py:connected_components) instead of the
+    driver-side rename map."""
     import pyarrow.compute as pc
+
+    from parser_rdf_ray.collect import bounded_take_all
 
     def keep(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -198,7 +206,8 @@ def sameas_edges(triples_ds) -> list[tuple[str, str]]:
         return batch.filter(mask).select(["subj", "obj"])
 
     small = triples_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    return [(r["subj"], r["obj"]) for r in small.take_all()]
+    rows = bounded_take_all(small, what="owl:sameAs edge collect", ceiling=5_000_000)
+    return [(r["subj"], r["obj"]) for r in rows]
 
 
 class _Renamer:

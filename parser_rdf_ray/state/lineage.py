@@ -31,9 +31,12 @@ def _read_edge_row(path: str, md, *, first: bool) -> dict:
 
 
 def _json_safe_row(row: dict) -> dict:
-    return {
-        k: v for k, v in row.items() if isinstance(v, (str, int, float, bool)) or v is None
-    }
+    # None values are DROPPED, not kept: a null in an identity column must
+    # make incremental_merge_pruned's first-row completeness check fail
+    # cleanly (→ documented full-re-exchange fallback) instead of slipping
+    # a None into route_by_first_tuples' tuple bisect, where a None-vs-str
+    # comparison raises TypeError mid-merge.
+    return {k: v for k, v in row.items() if isinstance(v, (str, int, float, bool))}
 
 
 def stage_dir(checkpoint_dir: str, stage: str) -> str:

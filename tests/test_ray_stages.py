@@ -1453,3 +1453,95 @@ class TestPipelineFormatOverride:
         # the non-NT doc fails with the explicit handler instead of being
         # re-detected as something else
         assert err.num_rows == 1 and err.column("format").to_pylist() == ["n-triples"]
+
+
+class TestBucketAudit:
+    def test_driver_corpus_has_no_overcap_buckets(self, ray_session):
+        """The dedup_minhash oracle's exactness precondition, pinned: every
+        LSH bucket on the driver corpus is within BUCKET_CAP (see the
+        oracle comment in __ray_entry__.py — re-run this when the corpus
+        generator changes)."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import minhash_bucket_audit
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        audit = minhash_bucket_audit(docs)
+        assert audit["n_buckets"] > 0
+        assert audit["overcap_buckets"] == 0
+        assert audit["dropped_pairs"] == 0
+        assert audit["max_bucket"] <= audit["bucket_cap"]
+
+    def test_overcap_bucket_counted(self, ray_session):
+        """30 identical docs with cap=10: every one of the 32 bands holds
+        one 30-doc bucket, each dropping C(30,2)-C(10,2) pairs."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import minhash_bucket_audit
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": list(range(30)), "text": ["identical content " * 20] * 30}
+        )
+        audit = minhash_bucket_audit(ray.data.from_arrow(tbl), bucket_cap=10)
+        assert audit["max_bucket"] == 30
+        assert audit["overcap_buckets"] == 32
+        assert audit["dropped_pairs"] == 32 * (30 * 29 // 2 - 10 * 9 // 2)
+
+    def test_curation_report_surfaces_audit(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import curation_report
+
+        good = " ".join(f"tok{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(60))
+        tbl = pa.Table.from_pydict(
+            {"doc_id": [1, 2, 3], "text": [good, good + " tail", "short"]}
+        )
+        rep = curation_report(ray.data.from_arrow(tbl))
+        assert rep["docs_in"] == 3
+        assert rep["quality_survivors"] == 2
+        assert rep["kept"] == 1
+        assert rep["overcap_buckets"] == 0
+
+
+class TestBoundedCollect:
+    def test_under_ceiling_returns_rows(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.collect import bounded_take_all
+
+        ds = ray.data.from_arrow(pa.Table.from_pydict({"x": [1, 2, 3]}))
+        rows = bounded_take_all(ds, what="test", ceiling=10)
+        assert sorted(r["x"] for r in rows) == [1, 2, 3]
+
+    def test_over_ceiling_raises_before_collecting(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.collect import DriverCollectOverflow, bounded_take_all
+
+        ds = ray.data.from_arrow(pa.Table.from_pydict({"x": list(range(100))}))
+        with pytest.raises(DriverCollectOverflow, match="test-collect: 100 rows"):
+            bounded_take_all(ds, what="test-collect", ceiling=99)
+
+    def test_env_override(self, ray_session, monkeypatch):
+        import ray.data
+
+        from parser_rdf_ray.collect import bounded_take_all
+
+        monkeypatch.setenv("GRAFT_DRIVER_COLLECT_CEILING", "1000")
+        ds = ray.data.from_arrow(pa.Table.from_pydict({"x": list(range(100))}))
+        assert len(bounded_take_all(ds, what="t", ceiling=1)) == 100
+
+
+class TestLineageNoneSafety:
+    def test_json_safe_row_drops_none(self):
+        """A null in an identity column must make the pruned-merge
+        completeness check fail cleanly (missing key → documented
+        ValueError fallback), never reach the tuple bisect as None."""
+        from parser_rdf_ray.state.lineage import _json_safe_row
+
+        assert _json_safe_row({"a": None, "b": "x", "c": 1, "d": 2.5, "e": True}) == {
+            "b": "x",
+            "c": 1,
+            "d": 2.5,
+            "e": True,
+        }
