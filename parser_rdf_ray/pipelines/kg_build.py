@@ -330,9 +330,17 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
             names=["node", "contrib", "outdeg"],
         )
 
+    from parser_rdf_ray.tuning import state_parallelism
+
     base = nodes.map_batches(node_zero, batch_format="pyarrow", zero_copy_batch=True).union(
         base_deg.map_batches(deg_zero, batch_format="pyarrow", zero_copy_batch=True)
     ).materialize()
+    # Size the loop state to the DATA (see tuning.state_parallelism): the
+    # per-iteration sort's cost is in_blocks × out_partitions object
+    # transfers, so both `base` (unioned into every round) and the rank
+    # state are held at the same data-sized block count.
+    state_parts = state_parallelism(base.count())
+    base = base.repartition(state_parts).materialize()
 
     scale = 10 ** round_to
     dnum = round(damping * 100)  # damping as an integer percentage
@@ -385,10 +393,10 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        .repartition(state_parts)  # iteration 1 sorts state_parts blocks, not min_parallelism
     )
 
     from parser_rdf_ray.stages.edgejoin import edge_join_fn, pin_sorted_blocks
-    from parser_rdf_ray.tuning import shuffle_parallelism
 
     # pin the iteration-invariant edge relation ONCE: edges is already
     # globally src-sorted (sorted_distinct), so its materialized blocks
@@ -412,9 +420,8 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
         )
 
     join_fn = edge_join_fn(firsts, part_refs, "node", contrib_combine, contrib_schema)
-    # fixed state block count per round (blocks otherwise double per
-    # iteration, measured 48 → 1008); sized to the cluster, not hardcoded
-    state_parts = shuffle_parallelism()
+    # state_parts (computed above from node count) stays FIXED per round —
+    # blocks otherwise double per iteration, measured 48 → 1008
 
     def weights(b: pa.Table) -> pa.Table:
         # Max() over an all-null partition yields a null-TYPED column;
@@ -492,7 +499,6 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     import ray.data
     from parser_rdf_ray.stages.edgejoin import edge_join_fn, pin_sorted_blocks
     from parser_rdf_ray.stages.groups import sorted_distinct
-    from parser_rdf_ray.tuning import shuffle_parallelism
 
     def iri_edges(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("obj_kind"), "iri"))
@@ -557,6 +563,12 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     labels = nodes.map_batches(
         self_labels, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    # data-sized loop state (see tuning.state_parallelism + the pagerank
+    # note): per-iteration sort cost is in_blocks × out_partitions
+    from parser_rdf_ray.tuning import state_parallelism
+
+    state_parts = state_parallelism(labels.count())
+    labels = labels.repartition(state_parts).materialize()
 
     # state rows tagged is_old so ONE sorted-run scan per iteration both
     # min-aggregates the candidate labels AND detects per-node change —
@@ -606,10 +618,9 @@ def connected_components(adjacency_ds, max_iter: int = 50):
 
         return f
 
-    # fixed state block count per round (blocks otherwise double per
-    # iteration, measured 48 → 1008, wall time quadrupling); sized to the
-    # cluster via shuffle_parallelism, not hardcoded
-    state_parts = shuffle_parallelism()
+    # state_parts (computed above from node count) stays FIXED per round —
+    # blocks otherwise double per iteration (measured 48 → 1008, wall
+    # time quadrupling)
 
     for _ in range(max_iter):
         prop = labels.map_batches(
