@@ -651,6 +651,71 @@ def _q_rel_sessions(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_rel_quantiles(sf_dir: str):
+    # exact distributed per-group percentile_disc (p50/p90/p99)
+    from parser_rdf_ray.pipelines.relational import group_quantiles
+
+    return group_quantiles(sf_dir)
+
+
+def _q_rel_dense_rank(sf_dir: str):
+    # DENSE_RANK() OVER (PARTITION BY nation ORDER BY balance DESC)
+    from parser_rdf_ray.pipelines.relational import dense_rank_customers
+
+    return dense_rank_customers(sf_dir)
+
+
+def _q_rel_event_gaps(sf_dir: str):
+    # LAG()-style inter-event gap stats per user, integer microseconds
+    from parser_rdf_ray.pipelines.relational import user_event_gaps
+
+    return user_event_gaps(sf_dir)
+
+
+def _q_corpus_stratified(sf_dir: str):
+    import ray.data
+
+    from parser_rdf_ray.pipelines.curation import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, {"en": 25, "zh": 100, "de": 60}, default_pct=10)
+
+
+def _q_corpus_blocklist(sf_dir: str):
+    import ray.data
+
+    from parser_rdf_ray.pipelines.curation import filter_blocklist
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return filter_blocklist(docs, ["src3", "src7", "src12"])
+
+
+def _q_dedup_cross_corpus(sf_dir: str):
+    import ray.data
+
+    from parser_rdf_ray.pipelines.dedup import cross_corpus_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cross_corpus_dedup(docs, existing_pct=80)
+
+
+def _q_text_redact(sf_dir: str):
+    import ray.data
+
+    from parser_rdf_ray.pipelines.text import redact_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return redact_terms(docs, ["key", "merge", "window"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -697,6 +762,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": _q_rel_range_join,
         "rel_events_window": _q_rel_events_window,
         "rel_sessions": _q_rel_sessions,
+        "rel_quantiles": _q_rel_quantiles,
+        "rel_dense_rank": _q_rel_dense_rank,
+        "rel_event_gaps": _q_rel_event_gaps,
+        "corpus_stratified": _q_corpus_stratified,
+        "corpus_blocklist": _q_corpus_blocklist,
+        "dedup_cross_corpus": _q_dedup_cross_corpus,
+        "text_redact": _q_text_redact,
     }
 
 
@@ -1275,6 +1347,100 @@ GROUP BY l.user_id, l.event_id, l.ts
         "COUNT(*) AS n_events "
         "FROM events GROUP BY event_type, hour"
     )
+
+    # Exact per-group percentile_disc: the pipeline selects the element at
+    # 1-based rank max(1, ceil(q·n)) of the group sorted by integer cents;
+    # the SQL replays the identical rank formula (same IEEE double q·n
+    # product, same ceil) via an explicit ROW_NUMBER window, so ties and
+    # boundaries cannot diverge. Values are SELECTED (never summed) so no
+    # float-order hazard exists.
+    sql["rel_quantiles"] = """
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM c
+)
+SELECT grp AS o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) THEN cents END) / 100.0 AS p50,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) THEN cents END) / 100.0 AS p90,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN cents END) / 100.0 AS p99
+FROM r GROUP BY grp
+"""
+
+    # Ranks compare integer cents on both sides; output balance is the
+    # same cents/100.0 double division in numpy and DuckDB.
+    sql["rel_dense_rank"] = """
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT c_custkey, c_nationkey, cents / 100.0 AS c_acctbal,
+       CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY cents DESC) AS BIGINT)
+         AS balance_rank
+FROM c
+"""
+
+    # Gap stats are integer microseconds end-to-end (epoch_us both sides);
+    # tie order on equal ts cannot change the sorted-ts diff multiset.
+    sql["rel_event_gaps"] = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COALESCE(MAX(us - prev), 0) AS BIGINT) AS max_gap_us,
+       CAST(COALESCE(SUM(us - prev), 0) AS BIGINT) AS total_gap_us
+FROM s GROUP BY user_id
+"""
+
+    # Same md5-low64 membership contract as corpus_split.
+    sql["corpus_stratified"] = (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < "
+        "CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 100 WHEN 'de' THEN 60 ELSE 10 END"
+    )
+
+    sql["corpus_blocklist"] = (
+        "SELECT doc_id, source FROM documents "
+        "WHERE source NOT IN ('src3', 'src7', 'src12')"
+    )
+
+    # The pipeline joins on blake2b-128 text digests; SQL compares text
+    # directly — identical semantics barring a blake2b collision.
+    sql["dedup_cross_corpus"] = """
+WITH tagged AS (
+  SELECT doc_id, text,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 AS existing
+  FROM documents
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN EXISTS (
+              SELECT 1 FROM tagged e WHERE e.existing AND e.text = n.text)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM tagged n WHERE NOT n.existing
+"""
+
+    # Both sides run the SAME RE2 pattern: Arrow's
+    # count_substring_regex/replace_substring_regex and DuckDB's
+    # regexp_extract_all/regexp_replace(..,'g') are all RE2.
+    sql["text_redact"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(?:key|merge|window)\b')) AS BIGINT)
+         AS n_redacted,
+       CAST(length(regexp_replace(text, '\b(?:key|merge|window)\b', '[REDACTED]', 'g')) AS BIGINT)
+         AS redacted_len,
+       md5(regexp_replace(text, '\b(?:key|merge|window)\b', '[REDACTED]', 'g'))
+         AS redacted_md5
+FROM documents
+"""
 
     # Every queries() entry has an oracle: the sketch/heuristic ops
     # (minhash, simhash, langid, fingerprint, knn_ivf) are oracle-checked

@@ -119,3 +119,50 @@ def curation_report(
         "kept": kept.count(),
         **minhash_bucket_audit(survivors),
     }
+
+
+def stratified_sample(documents_ds, rates: dict[str, int], default_pct: int = 10):
+    """Deterministic per-stratum sampling: keep a document iff
+    md5-low64(doc_id) % 100 < rates[lang] (pct). The training-data
+    rebalancing primitive (e.g. downsample English, keep all low-resource
+    languages) with hash_split's stability contract: membership is a pure
+    function of doc_id, so corpus growth or re-runs never change a kept
+    document's fate — the resumable-ingest property. Content-free, one
+    streaming pass, no shuffle; SQL oracle via md5_number_lower."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        langs = batch.column("lang").to_pylist()
+        buckets = [_md5_low64(str(i)) % 100 for i in ids.to_pylist()]
+        keep = pa.array(
+            [b < rates.get(lang, default_pct) for b, lang in zip(buckets, langs)],
+            pa.bool_(),
+        )
+        return (
+            pa.Table.from_arrays(
+                [ids, pc.cast(batch.column("lang"), pa.string())],
+                names=["doc_id", "lang"],
+            ).filter(keep)
+        )
+
+    return documents_ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_blocklist(documents_ds, blocked_sources: list[str]):
+    """Anti-join corpus gate: drop every document whose ``source`` is on
+    the blocklist (the takedown/bad-domain filter every training corpus
+    needs). The blocklist is a SMALL side: it ships as a closure constant
+    into each task (an Arrow value_set — no shuffle, no broadcast round
+    trip); is_in is one vectorized kernel per batch. Returns kept
+    (doc_id, source) rows."""
+    value_set = pa.array(sorted(blocked_sources), pa.string())
+
+    def gate(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch.column("source"), pa.string())
+        keep = pc.invert(pc.is_in(src, value_set=value_set))
+        return pa.Table.from_arrays(
+            [pc.cast(batch.column("doc_id"), pa.int64()), src],
+            names=["doc_id", "source"],
+        ).filter(keep)
+
+    return documents_ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

@@ -832,3 +832,75 @@ def ngram_jaccard_dedup(documents_ds, threshold: float = 0.5, n: int = 2,
         return t.set_column(2, "jaccard", pc.round(t.column("jaccard"), ndigits=6))
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+CROSS_CORPUS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("is_dup", pa.int64())])
+
+
+def cross_corpus_dedup(documents_ds, existing_pct: int = 80):
+    """Incremental-ingest exact dedup: is each NEW document a duplicate of
+    anything in the EXISTING corpus? Membership is the deterministic
+    hash_split contract (md5-low64(doc_id) % 100 < existing_pct →
+    existing), so the op is self-contained over one table and the SQL
+    oracle can recompute it; in production the existing side is the
+    already-ingested corpus's digest column.
+
+    Scale plan: ONE digest-keyed exchange, no driver state and no
+    broadcast — existing rows tag (digest, kind=0), new rows
+    (digest, doc_id, kind=1), a digest sort co-partitions each digest's
+    run, and a vectorized run scan (cumsum-reduceat per block, zero
+    per-run Python calls) marks each new row dup iff its run contains an
+    existing row. The existing side moves as 16-byte digests, never
+    text."""
+    from parser_rdf_ray.stages.groups import run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    union_schema = pa.schema(
+        [("digest", pa.string()), ("doc_id", pa.int64()), ("kind", pa.int8())]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        texts = batch.column("text").to_pylist()
+        digests = pa.array(
+            [hashlib.blake2b(t.encode(), digest_size=16).hexdigest() for t in texts],
+            pa.string(),
+        )
+        existing = pa.array(
+            [_md5_low64(str(i)) % 100 < existing_pct for i in ids.to_pylist()],
+            pa.bool_(),
+        )
+        kind = pc.cast(
+            pc.if_else(existing, pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())),
+            pa.int8(),
+        )
+        return pa.Table.from_arrays([digests, ids, kind], schema=union_schema)
+
+    tagged = documents_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    tune_data_context()
+    srt = tagged.sort("digest")
+
+    def mark_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return CROSS_CORPUS_SCHEMA.empty_table()
+        starts, _ = run_spans(batch, ["digest"])
+        kinds = batch.column("kind").to_numpy()
+        existing_per_run = np.add.reduceat(
+            (kinds == 0).astype(np.int64), starts
+        )
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        is_dup = (existing_per_run > 0).astype(np.int64)[run_ids]
+        new_mask = kinds == 1
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").filter(pa.array(new_mask)),
+                pa.array(is_dup[new_mask]),
+            ],
+            schema=CROSS_CORPUS_SCHEMA,
+        )
+
+    return srt.map_batches(
+        mark_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -492,3 +492,295 @@ def range_join_events(sf_dir: str, window_minutes: int = 5):
         )
 
     return grouped_run_map(tagged, ["user_id"], per_user, schema=RANGE_JOIN_SCHEMA, min_run=1)
+
+
+QUANTILES_SCHEMA = pa.schema(
+    [
+        ("o_orderpriority", pa.string()),
+        ("n_orders", pa.int64()),
+        ("p50", pa.float64()),
+        ("p90", pa.float64()),
+        ("p99", pa.float64()),
+    ]
+)
+
+
+def group_quantiles(sf_dir: str, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT per-group quantiles (percentile_disc semantics: the element
+    at 1-based rank ceil(q·n) of the sorted group) of o_totalprice per
+    o_orderpriority — the distributed window/rank primitive Ray Data has
+    no operator for.
+
+    Plan (scale-honest — a group is a constant fraction of the table, so
+    no single task may ever hold one): ONE distributed sort by
+    (group, price_cents); the sorted materialized blocks are contiguous
+    range partitions, so per-block PER-GROUP COUNTS (a tiny groups×blocks
+    table fetched like stages/edgejoin.pin_sorted_blocks pins first keys)
+    let the driver locate, for each (group, q), exactly which block holds
+    the target rank and at which local offset; only those ≤ groups×|q|
+    blocks are then read back. Driver state and reads are metadata-sized;
+    the data moves once, in the sort. Prices are fixed-point cents in
+    float clothing (CLAUDE.md) — compared/selected as int64 cents, never
+    summed, so no float-order hazard exists at all here.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("o_orderpriority"), cents], names=["grp", "cents"]
+        )
+
+    srt = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["grp", "cents"])
+        .materialize()
+    )
+    refs = [
+        br for bundle in srt.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+    @ray.remote
+    def block_group_counts(block: pa.Table):
+        import polars as pl
+
+        if block.num_rows == 0:
+            return []
+        agg = pl.from_arrow(block).group_by("grp").len().sort("grp")
+        return list(zip(agg["grp"].to_list(), agg["len"].to_list()))
+
+    per_block = ray.get([block_group_counts.remote(r) for r in refs])
+
+    # group totals + (block, local-offset) location of each target rank
+    totals: dict[str, int] = {}
+    for counts in per_block:
+        for g, n in counts:
+            totals[g] = totals.get(g, 0) + n
+    # wanted[(block_idx)] -> list of (grp, q_idx, local_rank)
+    import math
+
+    wanted: dict[int, list[tuple[str, int, int]]] = {}
+    seen: dict[str, int] = {}
+    # percentile_disc rank = ceil(q·n) 1-based (smallest r with r/n ≥ q),
+    # floored at 1 — validated against DuckDB at both sf scales
+    targets = {
+        g: [max(1, math.ceil(q * n)) for q in quantiles] for g, n in totals.items()
+    }
+    remaining = {g: set(range(len(quantiles))) for g in totals}
+    for bi, counts in enumerate(per_block):
+        for g, n in counts:
+            before = seen.get(g, 0)
+            for qi in sorted(remaining[g]):
+                r = targets[g][qi]
+                if before < r <= before + n:
+                    wanted.setdefault(bi, []).append((g, qi, r - before - 1))
+            remaining[g] -= {qi for qi in remaining[g]
+                             if before < targets[g][qi] <= before + n}
+            seen[g] = before + n
+
+    @ray.remote
+    def pick(block: pa.Table, picks: list[tuple[str, int, int]]):
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        out = []
+        for g, qi, local in picks:
+            sub = df.filter(pl.col("grp") == g)
+            out.append((g, qi, int(sub["cents"][local])))
+        return out
+
+    picked = ray.get([pick.remote(refs[bi], ps) for bi, ps in wanted.items()])
+    values: dict[str, dict[int, int]] = {g: {} for g in totals}
+    for chunk in picked:
+        for g, qi, cents in chunk:
+            values[g][qi] = cents
+
+    groups = sorted(totals)
+    cols = [
+        pa.array(groups, pa.string()),
+        pa.array([totals[g] for g in groups], pa.int64()),
+    ]
+    for qi in range(len(quantiles)):
+        cols.append(
+            pa.array([values[g][qi] / 100.0 for g in groups], pa.float64())
+        )
+    return ray.data.from_arrow(
+        pa.Table.from_arrays(cols, schema=QUANTILES_SCHEMA)
+    )
+
+
+DENSE_RANK_SCHEMA = pa.schema(
+    [
+        ("c_custkey", pa.int64()),
+        ("c_nationkey", pa.int64()),
+        ("c_acctbal", pa.float64()),
+        ("balance_rank", pa.int64()),
+    ]
+)
+
+
+def dense_rank_customers(sf_dir: str):
+    """DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+    DESC) — the global ranking window as a distributed two-pass plan.
+
+    ONE sort by (nation asc, balance-cents desc) range-partitions the
+    table; equal (nation, cents) keys are co-partitioned (the engine's
+    pinned sort guarantee), so a distinct balance value never spans
+    blocks and per-block DISTINCT-VALUE COUNTS per nation (tiny,
+    blocks×nations) prefix-sum on the driver into each block's starting
+    rank offset. A second pass over the pinned block refs assigns
+    local dense ranks vectorized (numpy neighbor-compare cumsum) plus the
+    block's offset. Data moves once; Ray Data alone cannot express the
+    cross-block prefix, hence the raw-ref tail (same pattern as
+    stages/edgejoin.py)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("c_acctbal"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("c_custkey"), pa.int64()),
+                pc.cast(batch.column("c_nationkey"), pa.int64()),
+                cents,
+            ],
+            names=["c_custkey", "nation", "cents"],
+        )
+
+    srt = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["nation", "cents"], descending=[False, True])
+        .materialize()
+    )
+    refs = [
+        br for bundle in srt.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+    @ray.remote
+    def distinct_counts(block: pa.Table):
+        import polars as pl
+
+        if block.num_rows == 0:
+            return []
+        agg = (
+            pl.from_arrow(block)
+            .group_by("nation")
+            .agg(pl.col("cents").n_unique().alias("d"))
+            .sort("nation")
+        )
+        return list(zip(agg["nation"].to_list(), agg["d"].to_list()))
+
+    per_block = ray.get([distinct_counts.remote(r) for r in refs])
+    offsets: list[dict[int, int]] = []
+    running: dict[int, int] = {}
+    for counts in per_block:
+        offsets.append(dict(running))
+        for nat, d in counts:
+            running[nat] = running.get(nat, 0) + d
+
+    @ray.remote
+    def rank_block(block: pa.Table, offset: dict[int, int]):
+        if block.num_rows == 0:
+            return DENSE_RANK_SCHEMA.empty_table()
+        nation = block.column("nation").to_numpy()
+        cents = block.column("cents").to_numpy()
+        n = len(nation)
+        # local dense rank: +1 at every (nation, cents) change, restart per
+        # nation; rows arrive sorted by (nation asc, cents desc)
+        new_val = np.ones(n, dtype=np.int64)
+        new_val[1:] = (nation[1:] != nation[:-1]) | (cents[1:] != cents[:-1])
+        new_nat = np.ones(n, dtype=bool)
+        new_nat[1:] = nation[1:] != nation[:-1]
+        cum = np.cumsum(new_val)
+        nat_starts = np.flatnonzero(new_nat)
+        nat_base = np.zeros(n, dtype=np.int64)
+        nat_base[nat_starts] = cum[nat_starts] - 1
+        nat_base = np.maximum.accumulate(nat_base)  # cum is nondecreasing
+        local = cum - nat_base
+        # per-nation-run constant offset, repeated across each run (a
+        # later nation's offset may be SMALLER than an earlier one's, so
+        # no accumulate trick — plain repeat)
+        off = np.array([offset.get(int(x), 0) for x in nation[nat_starts]],
+                       dtype=np.int64)
+        run_lengths = np.diff(np.append(nat_starts, n))
+        glob_off = np.repeat(off, run_lengths)
+        return pa.Table.from_arrays(
+            [
+                block.column("c_custkey"),
+                pa.array(nation, pa.int64()),
+                pa.array(cents / 100.0, pa.float64()),
+                pa.array(local + glob_off, pa.int64()),
+            ],
+            schema=DENSE_RANK_SCHEMA,
+        )
+
+    out_refs = [rank_block.remote(r, offsets[i]) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+EVENT_GAPS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("max_gap_us", pa.int64()),
+        ("total_gap_us", pa.int64()),
+    ]
+)
+
+
+def user_event_gaps(sf_dir: str):
+    """Per-user inter-event gap stats — the LAG() window function as a
+    sorted-run scan: one user-key sort co-partitions each user's events,
+    then vectorized np.diff per run. Gap sums are int64 microseconds, so
+    every output column is integer-exact (no float anywhere)."""
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def per_user(run: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            run, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        run = run.take(order)
+        ts = run.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts)
+        uid = run.column("user_id")[0].as_py()
+        return pa.Table.from_arrays(
+            [
+                pa.array([uid], pa.int64()),
+                pa.array([len(ts)], pa.int64()),
+                pa.array([int(gaps.max()) if len(gaps) else 0], pa.int64()),
+                pa.array([int(gaps.sum()) if len(gaps) else 0], pa.int64()),
+            ],
+            schema=EVENT_GAPS_SCHEMA,
+        )
+
+    return grouped_run_map(ds, ["user_id"], per_user, schema=EVENT_GAPS_SCHEMA, min_run=1)

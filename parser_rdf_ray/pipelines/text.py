@@ -336,3 +336,41 @@ def fingerprint(documents_ds):
     return documents_ds.map_batches(
         fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def redact_terms(documents_ds, terms: list[str], replacement: str = "[REDACTED]"):
+    """Sensitive-term scrubbing — the PII/boilerplate-removal stage of a
+    training-data pipeline, on synthetic text that has no emails/numbers:
+    every whole-word occurrence of a configured term is replaced.
+
+    Vectorized end-to-end: ONE RE2 alternation compiled into two Arrow
+    kernels per batch (count_substring_regex for the per-doc match count,
+    replace_substring_regex for the rewrite). DuckDB's regexp_matches /
+    regexp_replace(.., 'g') are RE2 with identical semantics, so the SQL
+    oracle replays the exact same engine. Output is
+    (doc_id, n_redacted, redacted_len, redacted_md5) — content equality
+    is checked by md5 (DuckDB md5()) instead of shipping rewritten text.
+    """
+    import hashlib
+
+    pattern = r"\b(?:" + "|".join(re.escape(t) for t in sorted(terms)) + r")\b"
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text"), pa.string())
+        n = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+        red = pc.replace_substring_regex(text, pattern, replacement)
+        md5s = pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in red.to_pylist()],
+            pa.string(),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                n,
+                pc.cast(pc.utf8_length(red), pa.int64()),
+                md5s,
+            ],
+            names=["doc_id", "n_redacted", "redacted_len", "redacted_md5"],
+        )
+
+    return documents_ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,339 @@
+"""Pins for the round-3 window/corpus operators: exact group quantiles,
+dense rank, inter-event gaps, stratified sampling, blocklist filter,
+cross-corpus dedup, term redaction.
+
+Each test compares the distributed plan against an independent
+pandas/numpy implementation on synthetic inputs sized to span multiple
+blocks, so the cross-block machinery (driver rank location, prefix
+offsets, digest-run scans) is actually exercised — single-block inputs
+would vacuously pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _md5_low64(s: str) -> int:
+    # same convention as parser_rdf_ray.pipelines.dedup._md5_low64
+    # (== DuckDB md5_number_lower): low 8 md5 bytes, little-endian
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+class TestGroupQuantiles:
+    def test_matches_rank_formula(self, ray_session, tmp_path):
+        """percentile_disc = element at 1-based rank max(1, ceil(q·n)) of
+        the group sorted by integer cents — checked against a direct numpy
+        computation, with group sizes chosen so ranks land both mid-block
+        and at block boundaries."""
+        from parser_rdf_ray.pipelines.relational import group_quantiles
+
+        rng = np.random.RandomState(7)
+        groups = ["A"] * 1000 + ["B"] * 37 + ["C"] * 1  # big / small / singleton
+        prices = np.round(rng.uniform(1.0, 500.0, len(groups)) * 100) / 100.0
+        df = pd.DataFrame({"o_orderpriority": groups, "o_totalprice": prices})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "orders.parquet")
+
+        got = (
+            group_quantiles(str(sf))
+            .to_pandas()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+
+        for _, row in got.iterrows():
+            grp = row["o_orderpriority"]
+            cents = np.sort(
+                np.round(df[df.o_orderpriority == grp].o_totalprice.values * 100).astype(
+                    np.int64
+                )
+            )
+            n = len(cents)
+            assert row["n_orders"] == n
+            for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+                r = max(1, math.ceil(q * n))
+                assert row[col] == cents[r - 1] / 100.0, (grp, q)
+
+    def test_singleton_group_all_quantiles_equal(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import group_quantiles
+
+        df = pd.DataFrame(
+            {"o_orderpriority": ["only"], "o_totalprice": [123.45]}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "orders.parquet")
+        got = group_quantiles(str(sf)).to_pandas()
+        assert got.iloc[0][["p50", "p90", "p99"]].tolist() == [123.45] * 3
+
+
+class TestDenseRank:
+    def test_matches_pandas_dense_rank(self, ray_session, tmp_path):
+        """Per-nation dense rank over descending balance, with heavy
+        balance duplication so distinct-value counting (not row counting)
+        is what must propagate across blocks."""
+        from parser_rdf_ray.pipelines.relational import dense_rank_customers
+
+        rng = np.random.RandomState(13)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "c_custkey": np.arange(n, dtype=np.int64),
+                "c_nationkey": rng.randint(0, 5, n).astype(np.int32),
+                # few distinct values => ties everywhere, incl. across blocks
+                "c_acctbal": rng.choice([10.25, 10.25, 500.0, 499.99, -7.5], n),
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "customer.parquet")
+
+        got = (
+            dense_rank_customers(str(sf))
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        cents = np.round(df.c_acctbal.values * 100).astype(np.int64)
+        expected = (
+            pd.Series(cents)
+            .groupby(df.c_nationkey.values)
+            .rank(method="dense", ascending=False)
+            .astype(np.int64)
+        )
+        assert len(got) == n
+        assert got.balance_rank.tolist() == expected.tolist()
+        assert got.c_acctbal.tolist() == (cents / 100.0).tolist()
+
+    def test_rank_one_per_nation(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import dense_rank_customers
+
+        df = pd.DataFrame(
+            {
+                "c_custkey": [1, 2, 3, 4],
+                "c_nationkey": [0, 0, 1, 1],
+                "c_acctbal": [5.0, 9.0, 9.0, 9.0],
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "customer.parquet")
+        got = dense_rank_customers(str(sf)).to_pandas().sort_values("c_custkey")
+        assert got.balance_rank.tolist() == [2, 1, 1, 1]
+
+
+class TestUserEventGaps:
+    def test_matches_pandas_diff(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import user_event_gaps
+
+        rng = np.random.RandomState(3)
+        base = pd.Timestamp("2025-06-01")
+        rows = []
+        eid = 0
+        for uid in range(8):
+            for _ in range(1 if uid == 0 else 50):  # uid 0: single event
+                rows.append(
+                    {
+                        "user_id": uid,
+                        "event_id": eid,
+                        "ts": base + pd.Timedelta(seconds=int(rng.randint(0, 100000))),
+                    }
+                )
+                eid += 1
+        df = pd.DataFrame(rows)
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "events.parquet")
+
+        got = (
+            user_event_gaps(str(sf))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            ts = np.sort(
+                df[df.user_id == row["user_id"]].ts.values.astype("datetime64[us]").astype(
+                    np.int64
+                )
+            )
+            gaps = np.diff(ts)
+            assert row["n_events"] == len(ts)
+            assert row["max_gap_us"] == (gaps.max() if len(gaps) else 0)
+            assert row["total_gap_us"] == (gaps.sum() if len(gaps) else 0)
+
+
+class TestStratifiedSample:
+    def _docs(self, n):
+        langs = ["en", "de", "zh", "fr"]
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": [langs[i % 4] for i in range(n)],
+            }
+        )
+
+    def test_membership_matches_hash_rule(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import stratified_sample
+
+        df = self._docs(400)
+        rates = {"en": 30, "zh": 100, "fr": 0}
+        got = (
+            stratified_sample(ray.data.from_pandas(df), rates, default_pct=10)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        keep = [
+            _md5_low64(str(i)) % 100 < rates.get(lang, 10)
+            for i, lang in zip(df.doc_id, df.lang)
+        ]
+        assert got.doc_id.tolist() == df.doc_id[keep].tolist()
+        assert "fr" not in set(got.lang)  # 0% stratum fully dropped
+        assert (got.lang == "zh").sum() == 100  # 100% stratum fully kept
+
+    def test_stable_under_corpus_growth(self, ray_session):
+        """A document's fate is a pure function of doc_id — doubling the
+        corpus must not change which of the original docs are kept (the
+        resumable-ingest property)."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import stratified_sample
+
+        rates = {"en": 40}
+        small = (
+            stratified_sample(ray.data.from_pandas(self._docs(200)), rates)
+            .to_pandas()
+        )
+        big = (
+            stratified_sample(ray.data.from_pandas(self._docs(400)), rates)
+            .to_pandas()
+        )
+        assert set(small.doc_id) == {i for i in big.doc_id if i < 200}
+
+
+class TestFilterBlocklist:
+    def test_drops_exactly_blocked_sources(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import filter_blocklist
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(100, dtype=np.int64),
+                "source": [f"src{i % 10}" for i in range(100)],
+            }
+        )
+        got = (
+            filter_blocklist(ray.data.from_pandas(df), ["src2", "src7"])
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert len(got) == 80
+        assert not set(got.source) & {"src2", "src7"}
+        assert got.doc_id.tolist() == df.doc_id[~df.source.isin(["src2", "src7"])].tolist()
+
+    def test_empty_blocklist_keeps_all(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import filter_blocklist
+
+        df = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "b"]})
+        assert filter_blocklist(ray.data.from_pandas(df), []).count() == 2
+
+
+class TestCrossCorpusDedup:
+    def test_matches_set_membership(self, ray_session):
+        """New doc is dup iff its text appears among existing docs —
+        checked against a direct set lookup, with texts duplicated
+        within-new (must NOT count), within-existing, and across."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import cross_corpus_dedup
+
+        rng = np.random.RandomState(5)
+        texts = [f"text variant {rng.randint(0, 60)}" for _ in range(300)]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(300, dtype=np.int64), "text": texts}
+        )
+        pct = 70
+        got = (
+            cross_corpus_dedup(ray.data.from_pandas(df), existing_pct=pct)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        existing_mask = [
+            _md5_low64(str(i)) % 100 < pct for i in df.doc_id
+        ]
+        existing_texts = set(df.text[existing_mask])
+        new = df[~np.array(existing_mask)]
+        assert got.doc_id.tolist() == new.doc_id.tolist()
+        expected = [int(t in existing_texts) for t in new.text]
+        assert got.is_dup.tolist() == expected
+        assert 0 < sum(expected) < len(expected)  # both outcomes exercised
+
+    def test_new_only_duplicates_not_marked(self, ray_session):
+        """Two new docs sharing a text that no existing doc has are NOT
+        cross-corpus duplicates."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.dedup import cross_corpus_dedup
+
+        # choose ids so membership is deterministic under the md5 rule
+        ids = list(range(40))
+        new_ids = [i for i in ids if _md5_low64(str(i)) % 100 >= 50][:2]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "text": [
+                    "shared-new-only" if i in new_ids else f"unique {i}"
+                    for i in ids
+                ],
+            }
+        )
+        got = cross_corpus_dedup(ray.data.from_pandas(df), existing_pct=50).to_pandas()
+        marked = got[got.doc_id.isin(new_ids)]
+        assert (marked.is_dup == 0).all()
+
+
+class TestRedactTerms:
+    def test_matches_python_re(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.text import redact_terms
+
+        texts = [
+            "the key to the merge is the window",
+            "keys and merges do not match whole words",  # boundary: no hits
+            "key key key",
+            "no terms here",
+            "window",
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = (
+            redact_terms(ray.data.from_pandas(df), ["key", "merge", "window"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pat = re.compile(r"\b(?:key|merge|window)\b")
+        for i, t in enumerate(texts):
+            red = pat.sub("[REDACTED]", t)
+            assert got.n_redacted[i] == len(pat.findall(t)), t
+            assert got.redacted_len[i] == len(red)
+            assert got.redacted_md5[i] == hashlib.md5(red.encode()).hexdigest()
+        assert got.n_redacted.tolist() == [3, 0, 3, 0, 1]
