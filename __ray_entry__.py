@@ -672,6 +672,36 @@ def _q_rel_event_gaps(sf_dir: str):
     return user_event_gaps(sf_dir)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    # Lloyd's k-means, 3 assignment rounds, exact int64 arithmetic
+    import ray.data
+
+    from parser_rdf_ray.pipelines.similarity import kmeans_embeddings
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_embeddings(emb, k=8, n_iter=3)
+
+
+def _q_text_tfidf(sf_dir: str):
+    import ray.data
+
+    from parser_rdf_ray.pipelines.text import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, k=3)
+
+
+def _q_rel_merge_join(sf_dir: str):
+    # large-×-large sort-merge equi-join (neither side broadcast)
+    from parser_rdf_ray.pipelines.relational import orders_customer_merge_join
+
+    return orders_customer_merge_join(sf_dir)
+
+
 def _q_corpus_stratified(sf_dir: str):
     import ray.data
 
@@ -765,10 +795,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_quantiles": _q_rel_quantiles,
         "rel_dense_rank": _q_rel_dense_rank,
         "rel_event_gaps": _q_rel_event_gaps,
+        "rel_merge_join": _q_rel_merge_join,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
         "text_redact": _q_text_redact,
+        "text_tfidf": _q_text_tfidf,
+        "embedding_kmeans": _q_embedding_kmeans,
     }
 
 
@@ -1401,6 +1434,15 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM s GROUP BY user_id
 """
 
+    # Money transits the exchange as int64 cents on the pipeline side;
+    # the oracle reproduces the identical cents→double output division.
+    sql["rel_merge_join"] = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
     # Same md5-low64 membership contract as corpus_split.
     sql["corpus_stratified"] = (
         "SELECT doc_id, lang FROM documents "
@@ -1426,6 +1468,62 @@ SELECT n.doc_id,
               SELECT 1 FROM tagged e WHERE e.existing AND e.text = n.text)
             THEN 1 ELSE 0 END AS BIGINT) AS is_dup
 FROM tagged n WHERE NOT n.existing
+"""
+
+    # k-means unrolled oracle (3 assignment rounds, k=8, dim 64): DuckDB
+    # re-derives the 1e-6-quantized units (same ROUND contract as
+    # embedding_centroids), exact HUGEINT squared-L2 distances, argmin
+    # with ties → lowest cid, and the M-step's exact integer
+    # floor(sum/count) (sign-decomposed: DuckDB's // truncates toward
+    # zero). An emptied cluster would drop out of c{t} here while the
+    # pipeline keeps its previous centroid — equality therefore also
+    # witnesses that no cluster empties on the driver corpora.
+    _km_iters = 3
+    _km = [
+        "WITH q AS (SELECT vec_id, t.i AS d, "
+        "CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS u "
+        "FROM embeddings CROSS JOIN range(1, 65) t(i)), "
+        "c0 AS (SELECT vec_id AS cid, d, u AS cu FROM q WHERE vec_id < 8)"
+    ]
+    for _t in range(1, _km_iters + 1):
+        _km.append(
+            f"d{_t} AS (SELECT q.vec_id, c.cid, "
+            f"SUM((q.u - c.cu) * (q.u - c.cu)) AS dist "
+            f"FROM q JOIN c{_t - 1} c USING (d) GROUP BY q.vec_id, c.cid)"
+        )
+        _km.append(
+            f"a{_t} AS (SELECT vec_id, cid FROM d{_t} QUALIFY "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"
+        )
+        if _t < _km_iters:
+            _km.append(
+                f"c{_t} AS (SELECT a.cid, q.d, "
+                f"CASE WHEN SUM(q.u) >= 0 THEN SUM(q.u) // COUNT(*) "
+                f"ELSE -((-SUM(q.u) + COUNT(*) - 1) // COUNT(*)) END AS cu "
+                f"FROM q JOIN a{_t} a USING (vec_id) GROUP BY a.cid, q.d)"
+            )
+    sql["embedding_kmeans"] = (
+        ", ".join(_km)
+        + f" SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{_km_iters}"
+    )
+
+    # Integer-scaled idf (tf · (N·1e6 // df)) keeps every score exact
+    # int64 — same whitespace-token contract as text_tokens; `//` is
+    # floor on both sides for these all-positive values.
+    sql["text_tfidf"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT tf.doc_id, tf.term,
+       CAST(tf.tf * ((n.n * 1000000) // df.df) AS BIGINT) AS score
+FROM tf JOIN df USING (term) CROSS JOIN n
+QUALIFY ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY score DESC, tf.term) <= 3
 """
 
     # Both sides run the SAME RE2 pattern: Arrow's

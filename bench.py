@@ -138,6 +138,14 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "rel_join_topk",
         "rel_events_window",
         "rel_sessions",
+        "rel_quantiles",
+        "rel_dense_rank",
+        "rel_event_gaps",
+        "dedup_cross_corpus",
+        "text_redact",
+        "rel_merge_join",
+        "text_tfidf",
+        "embedding_kmeans",
     ]
     out: dict[str, float] = {}
     for name in picks:

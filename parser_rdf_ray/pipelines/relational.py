@@ -784,3 +784,131 @@ def user_event_gaps(sf_dir: str):
         )
 
     return grouped_run_map(ds, ["user_id"], per_user, schema=EVENT_GAPS_SCHEMA, min_run=1)
+
+
+MERGE_JOIN_SCHEMA = pa.schema(
+    [
+        ("o_orderkey", pa.int64()),
+        ("o_custkey", pa.int64()),
+        ("o_totalprice", pa.float64()),
+        ("c_name", pa.string()),
+        ("c_mktsegment", pa.string()),
+    ]
+)
+
+
+def orders_customer_merge_join(sf_dir: str):
+    """Large-×-large inner equi-join (orders ⋈ customer on custkey) as a
+    distributed SORT-MERGE JOIN — the shuffle-join primitive for when
+    NEITHER side fits a broadcast (orders_join_topk covers the small-side
+    case; this is the general one).
+
+    Plan: both sides project to a COMMON tagged schema (kind 0 = build /
+    customer, kind 1 = probe / orders) and union — each side moves
+    exactly once, through ONE key sort that co-partitions every custkey's
+    rows (the engine's pinned co-partition guarantee). Each output block
+    is then locally re-ordered by (key, kind) — cheap, in-memory — so a
+    run is [customer row?, order rows...]; a vectorized run scan
+    (run-id cumsum + take, zero per-key Python) broadcasts the customer
+    attrs onto the run's order rows. Unmatched orders drop (inner);
+    skew note: one hot key's rows land in one partition — salt the probe
+    side + replicate the build row if a key exceeds block scale (same
+    hazard as any hash join; documented, not hit by TPC-H keys).
+    Money stays in int64 cents through the exchange (no float hazard).
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("kind", pa.int8()),
+            ("o_orderkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )
+
+    def tag_customer(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("c_custkey"), pa.int64()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pc.cast(b.column("c_name"), pa.string()),
+                pc.cast(b.column("c_mktsegment"), pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("o_custkey"), pa.int64()),
+                pa.array(np.ones(n, dtype=np.int8)),
+                pc.cast(b.column("o_orderkey"), pa.int64()),
+                cents,
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).map_batches(tag_customer, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    srt = cust.union(orders).sort("key")
+
+    def join_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return MERGE_JOIN_SCHEMA.empty_table()
+        batch = batch.sort_by([("key", "ascending"), ("kind", "ascending")])
+        starts, _ = run_spans(batch, ["key"])
+        kinds = batch.column("kind").to_numpy()
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        # run's first row is the customer row iff kind==0 there
+        has_build = kinds[starts] == 0
+        build_pos = starts  # position of the customer row per run (if any)
+        probe_mask = (kinds == 1) & has_build[run_ids]
+        if not probe_mask.any():
+            return MERGE_JOIN_SCHEMA.empty_table()
+        probe_idx = np.flatnonzero(probe_mask)
+        src_build = pa.array(build_pos[run_ids[probe_idx]])
+        probe = batch.take(pa.array(probe_idx))
+        return pa.Table.from_arrays(
+            [
+                probe.column("o_orderkey"),
+                probe.column("key"),
+                pc.divide(
+                    pc.cast(probe.column("cents"), pa.float64()), pa.scalar(100.0)
+                ),
+                batch.column("c_name").take(src_build),
+                batch.column("c_mktsegment").take(src_build),
+            ],
+            schema=MERGE_JOIN_SCHEMA,
+        )
+
+    return srt.map_batches(
+        join_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

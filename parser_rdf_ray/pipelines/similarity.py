@@ -352,3 +352,156 @@ def knn_ivf(embeddings_ds, queries: dict[int, list[float]], k: int = 10, n_bits:
 
     candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow", zero_copy_batch=True)
     return knn_brute_force(candidates, queries, k)
+
+
+KMEANS_SCHEMA = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+
+def _quant_units(emb: np.ndarray, scale: int) -> np.ndarray:
+    """Half-away 1e-6 quantization — the label_centroids contract
+    (== DuckDB ROUND(CAST(e AS DOUBLE)·scale))."""
+    return (np.sign(emb) * np.floor(np.abs(emb) * scale + 0.5)).astype(np.int64)
+
+
+def kmeans_embeddings(embeddings_ds, k: int = 8, n_iter: int = 3,
+                      round_to: int = 6):
+    """Lloyd's k-means over the embedding corpus — the engine's iterative
+    clustering primitive (semantic dedup blocking, corpus bucketing).
+    ``n_iter`` assignment rounds with an M-step between consecutive
+    rounds; returns (vec_id, cluster) from the final round.
+
+    EXACT integer semantics (the kg_pagerank design, applied to vectors):
+    embeddings are 1e-6-quantized to int64 units per element (half-away,
+    the label_centroids contract), squared-L2 distances are exact int64
+    (u² + c² − 2·u·c via int64 matmul; max |term| ≈ 64·4e12 ≪ 2⁶³), the
+    argmin tie-breaks to the lowest centroid id, and the M-step mean is
+    exact integer floor(sum/count) (sign-decomposed, since DuckDB's //
+    truncates). Every step is order-independent, so the unrolled SQL
+    oracle matches bit-for-bit.
+
+    Plan: quantized (vec_id, units) is materialized ONCE (blocks stay in
+    plasma, spillable); per round the k×dim int64 centroid matrix ships
+    as a task closure (~4 KB), each batch does one matmul + reduceat
+    partial-sum — only k×(dim+2) int64 rows per block ever shuffle, via a
+    groupby over the k-sized cid set (map_groups justified: group count
+    == k). The driver holds exactly the k×dim centroid state between
+    rounds — the same bounded-state shape as knn queries. An emptied
+    cluster keeps its previous centroid (deterministic; the SQL oracle
+    omits empty clusters instead, so oracle equality additionally
+    witnesses that no cluster empties on the driver corpora).
+
+    Seeding: centroids 0..k-1 are the embeddings with vec_id < k —
+    deterministic and SQL-reproducible (no RNG in the contract).
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from parser_rdf_ray.collect import bounded_take_all
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    scale = 10 ** round_to
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        ids = _i64(batch.column("vec_id"))
+        emb = _emb_matrix(batch.column("embedding"))
+        units = _quant_units(emb, scale) if emb.size else np.empty((0, 0), np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(list(units), pa.list_(pa.int64()))],
+            names=["vec_id", "units"],
+        )
+
+    base = embeddings_ds.map_batches(
+        to_units, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def units_matrix(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(arr) == 0:
+            return np.empty((0, 0), dtype=np.int64)
+        vals = arr.flatten().to_numpy(zero_copy_only=False)
+        return vals.astype(np.int64, copy=False).reshape(len(arr), -1)
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less(pc.cast(batch.column("vec_id"), pa.int64()), pa.scalar(k))
+        )
+
+    seeds = bounded_take_all(
+        base.map_batches(seed_rows, batch_format="pyarrow", zero_copy_batch=True),
+        what="kmeans seed centroids",
+        ceiling=max(4 * k, 1024),
+    )
+    seeds.sort(key=lambda r: r["vec_id"])
+    C = np.array([np.asarray(r["units"], dtype=np.int64) for r in seeds])
+    if len(C) < k:
+        raise ValueError(f"kmeans seeding needs vec_ids 0..{k-1}; found {len(C)}")
+
+    def assign_of(U: np.ndarray, Cm: np.ndarray) -> np.ndarray:
+        c2 = (Cm * Cm).sum(axis=1)
+        u2 = (U * U).sum(axis=1)
+        dist = u2[:, None] + c2[None, :] - 2 * (U @ Cm.T)
+        return np.argmin(dist, axis=1).astype(np.int64)  # ties → lowest cid
+
+    partial_schema = pa.schema(
+        [("cid", pa.int64()), ("vec_sum", pa.list_(pa.int64())), ("n", pa.int64())]
+    )
+
+    def make_partials(Cm: np.ndarray):
+        def partials(batch: pa.Table) -> pa.Table:
+            U = units_matrix(batch.column("units"))
+            if U.size == 0:
+                return partial_schema.empty_table()
+            assign = assign_of(U, Cm)
+            order = np.argsort(assign, kind="stable")
+            a_s, U_s = assign[order], U[order]
+            starts = np.flatnonzero(np.diff(a_s, prepend=a_s[0] - 1))
+            sums = np.add.reduceat(U_s, starts, axis=0)
+            cnts = np.diff(np.append(starts, len(a_s)))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(a_s[starts], pa.int64()),
+                    pa.array(list(sums), pa.list_(pa.int64())),
+                    pa.array(cnts, pa.int64()),
+                ],
+                schema=partial_schema,
+            )
+
+        return partials
+
+    def combine(group: pa.Table) -> pa.Table:
+        cid = group.column("cid")[0].as_py()
+        sums = units_matrix(group.column("vec_sum"))
+        s = sums.sum(axis=0)
+        n = int(group.column("n").to_numpy().sum())
+        units = s // n  # numpy int64 // is FLOOR — the oracle's contract
+        return pa.Table.from_arrays(
+            [pa.array([cid], pa.int64()), pa.array([list(units)], pa.list_(pa.int64()))],
+            names=["cid", "units"],
+        )
+
+    for _ in range(n_iter - 1):
+        part = base.map_batches(
+            make_partials(C), batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = bounded_take_all(
+            part.groupby("cid").map_groups(combine, batch_format="pyarrow"),
+            what="kmeans centroid update",
+            ceiling=max(4 * k, 1024),
+        )
+        C = C.copy()
+        for r in rows:  # emptied clusters keep their previous centroid
+            C[int(r["cid"])] = np.asarray(r["units"], dtype=np.int64)
+
+    Cf = C
+
+    def label_batch(batch: pa.Table) -> pa.Table:
+        U = units_matrix(batch.column("units"))
+        if U.size == 0:
+            return KMEANS_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), pa.array(assign_of(U, Cf), pa.int64())],
+            schema=KMEANS_SCHEMA,
+        )
+
+    return base.map_batches(label_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -374,3 +374,86 @@ def redact_terms(documents_ds, terms: list[str], replacement: str = "[REDACTED]"
         )
 
     return documents_ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TFIDF_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("term", pa.string()), ("score", pa.int64())]
+)
+
+
+def tfidf_top_terms(documents_ds, k: int = 3, idf_scale: int = 1_000_000):
+    """Top-k TF-IDF terms per document — the relevance/keyword-extraction
+    primitive, with an INTEGER-SCALED idf so every score is exact int64
+    and the SQL oracle matches bit-for-bit (no log, no float ordering):
+
+        score(doc, term) = tf(doc, term) · (N·idf_scale // df(term))
+
+    Monotone in tf/df exactly like tf·(N/df); `//` floor semantics agree
+    between numpy int64 and DuckDB's `//` for these all-positive values.
+
+    Plan (two exchanges total, no broadcast table): per-batch vectorized
+    (doc_id, term, tf) rows via ONE polars explode+group_by (tf rows are
+    globally unique per (doc, term) because a document lives in exactly
+    one batch); then ONE term sort co-partitions each term's full run, so
+    document frequency is just the run length IN-BLOCK — df computation
+    and the tf⋈df join collapse into the same exchange. Scoring is
+    vectorized per block; stages/groups.grouped_topk bounds the final
+    per-doc top-k to k × blocks rows per doc. Ties break by term asc.
+    """
+    import numpy as np
+    import polars as pl
+
+    from parser_rdf_ray.stages.groups import grouped_topk, run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    n_docs = documents_ds.count()  # driver scalar; the read is pruned
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        toks = ws_tokens(pc.cast(batch.column("text"), pa.string()))
+        t = pa.Table.from_arrays([ids, toks], names=["doc_id", "term"])
+        agg = (
+            pl.from_arrow(t)
+            .explode("term")
+            .group_by(["doc_id", "term"])
+            .len()
+        )
+        out = agg.to_arrow()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(out.column("doc_id").combine_chunks(), pa.int64()),
+                pc.cast(out.column("term").combine_chunks(), pa.string()),
+                pc.cast(out.column("len").combine_chunks(), pa.int64()),
+            ],
+            names=["doc_id", "term", "tf"],
+        )
+
+    tf = documents_ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+    srt = tf.sort("term")
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return TFIDF_SCHEMA.empty_table()
+        starts, ends = run_spans(batch, ["term"])
+        df_per_run = ends - starts  # GLOBAL df: the term sort co-partitions runs
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        idf = (n_docs * idf_scale) // df_per_run  # int64 floor, all positive
+        score = batch.column("tf").to_numpy() * idf[run_ids]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("term"),
+                pa.array(score, pa.int64()),
+            ],
+            schema=TFIDF_SCHEMA,
+        )
+
+    scored = srt.map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return grouped_topk(
+        scored, ["doc_id"], "score", k, descending=True, tie_cols=["term"]
+    )

@@ -337,3 +337,193 @@ class TestRedactTerms:
             assert got.redacted_len[i] == len(red)
             assert got.redacted_md5[i] == hashlib.md5(red.encode()).hexdigest()
         assert got.n_redacted.tolist() == [3, 0, 3, 0, 1]
+
+
+class TestMergeJoin:
+    def test_matches_pandas_inner_join(self, ray_session, tmp_path):
+        """Sort-merge join vs pandas merge: multi-order customers,
+        customers with no orders, and orders with a dangling custkey
+        (must drop — inner join)."""
+        from parser_rdf_ray.pipelines.relational import orders_customer_merge_join
+
+        rng = np.random.RandomState(17)
+        cust = pd.DataFrame(
+            {
+                "c_custkey": np.arange(100, dtype=np.int64),
+                "c_name": [f"Customer#{i}" for i in range(100)],
+                "c_mktsegment": [f"SEG{i % 4}" for i in range(100)],
+            }
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(2000, dtype=np.int64),
+                # keys 0..119: 100..119 dangle (no customer row)
+                "o_custkey": rng.randint(0, 120, 2000).astype(np.int64),
+                "o_totalprice": np.round(rng.uniform(1, 1000, 2000) * 100) / 100,
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(cust, preserve_index=False), sf / "customer.parquet")
+        pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), sf / "orders.parquet")
+
+        got = (
+            orders_customer_merge_join(str(sf))
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        exp = (
+            orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) < len(orders)  # some orders dangled
+        assert got.o_orderkey.tolist() == exp.o_orderkey.tolist()
+        assert got.c_name.tolist() == exp.c_name.tolist()
+        assert got.c_mktsegment.tolist() == exp.c_mktsegment.tolist()
+        assert got.o_totalprice.tolist() == exp.o_totalprice.tolist()
+
+
+class TestTfidfTopTerms:
+    def test_matches_direct_computation(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.text import tfidf_top_terms
+
+        docs = [
+            "apple banana apple",
+            "banana cherry",
+            "apple cherry cherry dates",
+            "dates",
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+        )
+        got = (
+            tfidf_top_terms(ray.data.from_pandas(df), k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        n = len(docs)
+        tf: dict[tuple[int, str], int] = {}
+        dfreq: dict[str, int] = {}
+        for i, t in enumerate(docs):
+            terms = t.split()
+            for w in set(terms):
+                dfreq[w] = dfreq.get(w, 0) + 1
+            for w in terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+        expected = []
+        for i in range(n):
+            scored = sorted(
+                (
+                    (-(cnt * ((n * 1_000_000) // dfreq[w])), w)
+                    for (d, w), cnt in tf.items()
+                    if d == i
+                ),
+            )[:2]
+            for negscore, w in scored:
+                expected.append((i, w, -negscore))
+        got_rows = list(zip(got.doc_id, got.term, got.score))
+        assert got_rows == expected
+
+    def test_rare_term_outranks_common(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.text import tfidf_top_terms
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1, 2], dtype=np.int64),
+                "text": ["common rare", "common", "common"],
+            }
+        )
+        got = tfidf_top_terms(ray.data.from_pandas(df), k=1).to_pandas()
+        assert got[got.doc_id == 0].term.iloc[0] == "rare"
+
+
+class TestKmeans:
+    @staticmethod
+    def _reference_kmeans(X, k, n_iter, scale=10**6):
+        U = (np.sign(X) * np.floor(np.abs(X) * scale + 0.5)).astype(np.int64)
+        C = U[:k].copy()
+        for t in range(1, n_iter + 1):
+            d = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            if t == n_iter:
+                return assign
+            for c in range(k):
+                members = U[assign == c]
+                if len(members):
+                    C[c] = members.sum(axis=0) // len(members)
+        return None
+
+    def test_matches_reference_lloyd(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import kmeans_embeddings
+
+        rng = np.random.RandomState(23)
+        n, dim, k = 400, 16, 5
+        X = rng.randn(n, dim).astype(np.float32)
+        df = pa.Table.from_arrays(
+            [
+                pa.array(np.arange(n, dtype=np.int64)),
+                pa.array(list(X), pa.list_(pa.float32())),
+            ],
+            names=["vec_id", "embedding"],
+        )
+        got = (
+            kmeans_embeddings(ray.data.from_arrow(df), k=k, n_iter=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        expected = self._reference_kmeans(X.astype(np.float64), k, 3)
+        assert got.cluster.tolist() == expected.tolist()
+        assert len(set(got.cluster)) > 1
+
+    def test_empty_cluster_keeps_previous_centroid(self, ray_session):
+        """Seed 2 quantizes identically to seed 0, so in round 1 every
+        point ties to the lower cid and cluster 2 gets NO members; the
+        pipeline must keep its centroid (not drop the cluster), which
+        lets it re-capture the origin points in round 2 after cluster 0's
+        centroid moves toward [0.1, 0.1]. The reference implementation
+        models the same keep-old rule, so agreement pins the path."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.similarity import kmeans_embeddings
+
+        X = np.array(
+            [
+                [0.0, 0.0],
+                [10.0, 10.0],
+                [0.0000001, 0.0],  # quantizes identically to seed 0
+                [0.1, 0.1],
+                [9.9, 9.9],
+                [10.1, 10.1],
+            ],
+            dtype=np.float32,
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(np.arange(len(X), dtype=np.int64)),
+                pa.array(list(X), pa.list_(pa.float32())),
+            ],
+            names=["vec_id", "embedding"],
+        )
+        got = (
+            kmeans_embeddings(ray.data.from_arrow(tbl), k=3, n_iter=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        expected = self._reference_kmeans(X.astype(np.float64), 3, 3)
+        assert got.cluster.tolist() == expected.tolist()
+        # premise: round 1 really did leave cluster 2 empty (ties → cid 0) …
+        round1 = self._reference_kmeans(X.astype(np.float64), 3, 1)
+        assert 2 not in set(round1.tolist())
+        # … and the kept centroid re-captured the origin points afterwards
+        assert 2 in set(got.cluster)
