@@ -672,6 +672,28 @@ def _q_rel_event_gaps(sf_dir: str):
     return user_event_gaps(sf_dir)
 
 
+def _q_rel_left_join(sf_dir: str):
+    # left-outer sort-merge join: unmatched orders keep null cust attrs
+    from parser_rdf_ray.pipelines.relational import orders_customer_merge_join
+
+    return orders_customer_merge_join(sf_dir, how="left")
+
+
+def _q_rel_semi_join(sf_dir: str):
+    # customers WITH at least one urgent order (EXISTS)
+    from parser_rdf_ray.pipelines.relational import customers_by_order_existence
+
+    return customers_by_order_existence(sf_dir, mode="semi", priority="1-URGENT")
+
+
+def _q_rel_anti_join(sf_dir: str):
+    # customers with NO urgent order (NOT EXISTS; unrestricted anti is
+    # vacuously empty on the driver corpora — every customer has orders)
+    from parser_rdf_ray.pipelines.relational import customers_by_order_existence
+
+    return customers_by_order_existence(sf_dir, mode="anti", priority="1-URGENT")
+
+
 def _q_embedding_kmeans(sf_dir: str):
     # Lloyd's k-means, 3 assignment rounds, exact int64 arithmetic
     import ray.data
@@ -796,6 +818,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_dense_rank": _q_rel_dense_rank,
         "rel_event_gaps": _q_rel_event_gaps,
         "rel_merge_join": _q_rel_merge_join,
+        "rel_left_join": _q_rel_left_join,
+        "rel_semi_join": _q_rel_semi_join,
+        "rel_anti_join": _q_rel_anti_join,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1441,6 +1466,25 @@ SELECT o_orderkey, o_custkey,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
        c_name, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+    sql["rel_left_join"] = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+    sql["rel_semi_join"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+    sql["rel_anti_join"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
     # Same md5-low64 membership contract as corpus_split.

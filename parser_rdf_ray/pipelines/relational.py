@@ -797,11 +797,13 @@ MERGE_JOIN_SCHEMA = pa.schema(
 )
 
 
-def orders_customer_merge_join(sf_dir: str):
-    """Large-×-large inner equi-join (orders ⋈ customer on custkey) as a
+def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
+    """Large-×-large equi-join (orders ⋈ customer on custkey) as a
     distributed SORT-MERGE JOIN — the shuffle-join primitive for when
     NEITHER side fits a broadcast (orders_join_topk covers the small-side
-    case; this is the general one).
+    case; this is the general one). ``how`` ∈ {"inner", "left"}: left
+    keeps unmatched orders with null customer attrs (Arrow take through a
+    null index — no per-row branching).
 
     Plan: both sides project to a COMMON tagged schema (kind 0 = build /
     customer, kind 1 = probe / orders) and union — each side moves
@@ -816,6 +818,8 @@ def orders_customer_merge_join(sf_dir: str):
     hazard as any hash join; documented, not hit by TPC-H keys).
     Money stays in int64 cents through the exchange (no float hazard).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     import numpy as np
     import ray
     import ray.data
@@ -890,11 +894,18 @@ def orders_customer_merge_join(sf_dir: str):
         # run's first row is the customer row iff kind==0 there
         has_build = kinds[starts] == 0
         build_pos = starts  # position of the customer row per run (if any)
-        probe_mask = (kinds == 1) & has_build[run_ids]
+        probe_mask = kinds == 1
+        if how == "inner":
+            probe_mask &= has_build[run_ids]
         if not probe_mask.any():
             return MERGE_JOIN_SCHEMA.empty_table()
         probe_idx = np.flatnonzero(probe_mask)
-        src_build = pa.array(build_pos[run_ids[probe_idx]])
+        matched = has_build[run_ids[probe_idx]]
+        # null index → null output value (Arrow take semantics): unmatched
+        # left-join probes pick up null customer attrs with no branching
+        src_build = pa.array(
+            build_pos[run_ids[probe_idx]], mask=~matched
+        )
         probe = batch.take(pa.array(probe_idx))
         return pa.Table.from_arrays(
             [
@@ -911,4 +922,106 @@ def orders_customer_merge_join(sf_dir: str):
 
     return srt.map_batches(
         join_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+EXISTENCE_SCHEMA = pa.schema(
+    [("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_mktsegment", pa.string())]
+)
+
+
+def customers_by_order_existence(sf_dir: str, mode: str = "anti",
+                                 priority: str | None = None):
+    """Distributed SEMI / ANTI join: customers WITH ("semi") or WITHOUT
+    ("anti") at least one order (optionally restricted to
+    ``o_orderpriority == priority``) — the EXISTS / NOT EXISTS primitive
+    (blocklist enforcement, orphan detection) when the probe side is too
+    large to broadcast.
+
+    Same one-exchange shape as the sort-merge join, with the probe side
+    reduced to BARE KEYS before it moves: orders project to (key) only
+    and pre-dedup per batch (a key's order count doesn't matter, only
+    existence), so the exchange carries ≤ distinct-keys×blocks probe
+    rows. After the key sort co-partitions runs, a vectorized scan keeps
+    each customer row iff its run does (semi) / does not (anti) contain a
+    probe row."""
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("kind", pa.int8()),
+            ("c_name", pa.string()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )
+
+    def tag_customer(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("c_custkey"), pa.int64()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+                pc.cast(b.column("c_name"), pa.string()),
+                pc.cast(b.column("c_mktsegment"), pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        if priority is not None:
+            b = b.filter(pc.equal(b.column("o_orderpriority"), priority))
+        keys = pc.unique(pc.cast(b.column("o_custkey"), pa.int64()))
+        n = len(keys)
+        return pa.Table.from_arrays(
+            [
+                keys,
+                pa.array(np.ones(n, dtype=np.int8)),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(tag_customer, batch_format="pyarrow", zero_copy_batch=True)
+    order_cols = ["o_custkey"] + ([] if priority is None else ["o_orderpriority"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=order_cols
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    srt = cust.union(orders).sort("key")
+    want_probe = mode == "semi"
+
+    def scan_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return EXISTENCE_SCHEMA.empty_table()
+        starts, _ = run_spans(batch, ["key"])
+        kinds = batch.column("kind").to_numpy()
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        probes_per_run = np.add.reduceat((kinds == 1).astype(np.int64), starts)
+        run_has_probe = probes_per_run > 0
+        keep = (kinds == 0) & (run_has_probe[run_ids] == want_probe)
+        kept = batch.filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [
+                kept.column("key"),
+                kept.column("c_name"),
+                kept.column("c_mktsegment"),
+            ],
+            schema=EXISTENCE_SCHEMA,
+        )
+
+    return srt.map_batches(
+        scan_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

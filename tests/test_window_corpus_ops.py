@@ -527,3 +527,70 @@ class TestKmeans:
         assert 2 not in set(round1.tolist())
         # … and the kept centroid re-captured the origin points afterwards
         assert 2 in set(got.cluster)
+
+
+class TestJoinVariants:
+    def _write(self, tmp_path, with_priority=False):
+        rng = np.random.RandomState(29)
+        cust = pd.DataFrame(
+            {
+                "c_custkey": np.arange(60, dtype=np.int64),
+                "c_name": [f"C#{i}" for i in range(60)],
+                "c_mktsegment": [f"SEG{i % 3}" for i in range(60)],
+            }
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(400, dtype=np.int64),
+                "o_custkey": rng.randint(0, 80, 400).astype(np.int64),  # 60..79 dangle
+                "o_totalprice": np.round(rng.uniform(1, 100, 400) * 100) / 100,
+                "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH"], 400),
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(cust, preserve_index=False), sf / "customer.parquet")
+        pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), sf / "orders.parquet")
+        return sf, cust, orders
+
+    def test_left_join_keeps_unmatched_probes_with_nulls(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import orders_customer_merge_join
+
+        sf, cust, orders = self._write(tmp_path)
+        got = (
+            orders_customer_merge_join(str(sf), how="left")
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        exp = (
+            orders.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(orders)  # every probe row survives
+        assert got.o_orderkey.tolist() == exp.o_orderkey.tolist()
+        assert got.c_name.isna().tolist() == exp.c_name.isna().tolist()
+        assert got.c_name.fillna("-").tolist() == exp.c_name.fillna("-").tolist()
+        assert got.c_name.isna().any()  # dangling keys exercised
+
+    def test_semi_anti_partition_customers(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import customers_by_order_existence
+
+        sf, cust, orders = self._write(tmp_path)
+        urgent = set(orders[orders.o_orderpriority == "1-URGENT"].o_custkey)
+        semi = (
+            customers_by_order_existence(str(sf), mode="semi", priority="1-URGENT")
+            .to_pandas()
+            .sort_values("c_custkey")
+        )
+        anti = (
+            customers_by_order_existence(str(sf), mode="anti", priority="1-URGENT")
+            .to_pandas()
+            .sort_values("c_custkey")
+        )
+        assert semi.c_custkey.tolist() == sorted(k for k in cust.c_custkey if k in urgent)
+        assert anti.c_custkey.tolist() == sorted(k for k in cust.c_custkey if k not in urgent)
+        # exact partition of the customer table
+        assert len(semi) + len(anti) == len(cust)
+        assert len(semi) > 0 and len(anti) > 0
