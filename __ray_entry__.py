@@ -694,6 +694,23 @@ def _q_rel_anti_join(sf_dir: str):
     return customers_by_order_existence(sf_dir, mode="anti", priority="1-URGENT")
 
 
+def _q_rel_moving_window(sf_dir: str):
+    # ROWS-frame window: per-user moving sum over the last 3 events
+    from parser_rdf_ray.pipelines.relational import moving_window_sum
+
+    return moving_window_sum(sf_dir, frame=3)
+
+
+def _q_sketch_distinct(sf_dir: str):
+    # HyperLogLog (p=8) over event_id, deterministic integer estimator
+    import ray.data
+
+    from parser_rdf_ray.pipelines.sketch import approx_distinct
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return approx_distinct(events, "event_id", p=8)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     # Lloyd's k-means, 3 assignment rounds, exact int64 arithmetic
     import ray.data
@@ -821,6 +838,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_left_join": _q_rel_left_join,
         "rel_semi_join": _q_rel_semi_join,
         "rel_anti_join": _q_rel_anti_join,
+        "rel_moving_window": _q_rel_moving_window,
+        "sketch_distinct": _q_sketch_distinct,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1473,6 +1492,57 @@ SELECT o_orderkey, o_custkey,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
        c_name, c_mktsegment
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+    # Window sums in exact 1e-6 int units (the rel_sessions contract);
+    # frame order (ts, event_id) is unique per row, so ties can't move it.
+    sql["rel_moving_window"] = """
+WITH u AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS uv
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(uv) OVER w AS DOUBLE) / 1000000 AS mov_sum3,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+FROM u
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+    # HLL replayed exactly: md5-low64 hash, top-8-bit bucket, rho via
+    # length(bin(v)) (== numpy searchsorted bit_length), register max,
+    # and the ×2-scaled integer harmonic fold — the whole sketch is
+    # integer arithmetic, so SQL and the distributed merge cannot differ.
+    sql["sketch_distinct"] = """
+WITH h AS (
+  SELECT md5_number_lower(CAST(event_id AS VARCHAR)) AS h FROM events
+),
+rb AS (
+  SELECT CAST(h // 72057594037927936::UBIGINT AS BIGINT) AS bucket,
+         h % 72057594037927936::UBIGINT AS v
+  FROM h
+),
+regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END) AS reg
+  FROM rb GROUP BY bucket
+),
+allregs AS (
+  SELECT t.i AS bucket, COALESCE(regs.reg, 0) AS reg
+  FROM range(0, 256) t(i) LEFT JOIN regs ON regs.bucket = t.i
+),
+s AS (
+  SELECT SUM((1::BIGINT) << (57 - reg)) AS hsum2,
+         SUM(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS nz
+  FROM allregs
+)
+SELECT CAST(256 AS BIGINT) AS m,
+       CAST((7213000::HUGEINT * 256 * 256 * 256 * ((1::HUGEINT) << 57))
+            // ((10000::HUGEINT * (1000 * 256 + 1079)) * hsum2) AS BIGINT)
+         AS estimate,
+       CAST(nz AS BIGINT) AS nonzero_registers
+FROM s
 """
 
     sql["rel_semi_join"] = """

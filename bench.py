@@ -144,8 +144,12 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "dedup_cross_corpus",
         "text_redact",
         "rel_merge_join",
+        "rel_left_join",
+        "rel_anti_join",
+        "rel_moving_window",
         "text_tfidf",
         "embedding_kmeans",
+        "sketch_distinct",
     ]
     out: dict[str, float] = {}
     for name in picks:

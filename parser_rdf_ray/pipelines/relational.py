@@ -1025,3 +1025,63 @@ def customers_by_order_existence(sf_dir: str, mode: str = "anti",
     return srt.map_batches(
         scan_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+MOVING_WINDOW_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("event_id", pa.int64()),
+        ("mov_sum3", pa.float64()),
+        ("n_window", pa.int64()),
+    ]
+)
+
+
+def moving_window_sum(sf_dir: str, frame: int = 3):
+    """ROWS-frame moving aggregate: per user, the sum of `value` over the
+    last ``frame`` events (ROWS BETWEEN frame-1 PRECEDING AND CURRENT
+    ROW, ordered by ts then event_id) — the frame-based window class the
+    engine lacked (events_window is tumbling, sessionize is gap-based).
+
+    One user-key sort co-partitions each user's events (the sessionize
+    plan shape); per run, values are 1e-6-quantized to int64 (the
+    rel_sessions money contract) and the window sums come from a single
+    cumsum difference — exact integer arithmetic, vectorized, O(run).
+    """
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import grouped_run_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def per_user(run: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            run, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        run = run.take(order)
+        u = pc.cast(
+            pc.round(pc.multiply(run.column("value"), pa.scalar(1_000_000.0))),
+            pa.int64(),
+        ).to_numpy()
+        n = len(u)
+        csum = np.concatenate([[0], np.cumsum(u)])
+        lo = np.maximum(np.arange(n) - (frame - 1), 0)
+        win = csum[1:] - csum[lo]
+        n_win = np.arange(n) - lo + 1
+        uid = run.column("user_id")[0].as_py()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(n, uid, dtype=np.int64)),
+                pc.cast(run.column("event_id"), pa.int64()),
+                pa.array(win / 1_000_000.0, pa.float64()),
+                pa.array(n_win.astype(np.int64)),
+            ],
+            schema=MOVING_WINDOW_SCHEMA,
+        )
+
+    return grouped_run_map(
+        ds, ["user_id"], per_user, schema=MOVING_WINDOW_SCHEMA, min_run=1
+    )

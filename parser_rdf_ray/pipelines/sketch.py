@@ -1,0 +1,122 @@
+"""Distributed cardinality sketch: HyperLogLog with a DETERMINISTIC
+integer estimator, so the sketch itself — registers, harmonic sum and
+estimate — is reproducible bit-for-bit by the DuckDB oracle.
+
+Standard HLL layout (Flajolet et al. 2007): h = md5-low64 of the key
+(the engine's DuckDB-parity hash), top p bits pick the register, and the
+register keeps max(rho) where rho = 1 + leading-zeros of the remaining
+64-p bits. Everything downstream of the hash is small-integer exact:
+
+    bit_length(v)  = searchsorted(powers_of_two, v)   (numpy)
+                   = length(bin(v))                   (DuckDB, v > 0)
+    harmonic sum   = Σ 2^(64-p-reg)  as exact integers (HUGEINT in SQL)
+    estimate       = (α_num · m² · 2^(64-p)) // (α_den · hsum)
+
+with α_m = 0.7213/(1 + 1.079/m) carried as the exact rational
+(7213·1000·m) / (10000·(1000·m + 1079)) — no float ever enters, so the
+distributed merge order cannot move the estimate. The small-range
+linear-counting correction is intentionally omitted (it needs ln());
+the op documents its valid range n ≳ 2.5·m instead.
+
+Scale shape: one vectorized register table per batch (≤ m rows), a
+Max-aggregate exchange over the m-sized register keyspace, and an
+m-row bounded driver collect for the final fold — the corpus itself
+never moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HLL_SCHEMA = pa.schema(
+    [
+        ("m", pa.int64()),
+        ("estimate", pa.int64()),
+        ("nonzero_registers", pa.int64()),
+    ]
+)
+
+
+def _md5_low64(token: str) -> int:
+    # same contract as pipelines/dedup._md5_low64 (== md5_number_lower)
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[8:16], "little")
+
+
+def hll_estimate_from_registers(regs: np.ndarray, p: int) -> int:
+    """Exact-integer HLL fold: registers (length 2^p) → estimate."""
+    m = 1 << p
+    rest_bits = 64 - p
+    # Σ 2^(rest_bits - reg) in arbitrary-precision ints — exactly what the
+    # SQL HUGEINT sum computes (reg ≤ rest_bits + 1 keeps terms ≥ 1/2;
+    # scale by 2 to stay integral for the reg == rest_bits + 1 edge)
+    hsum2 = sum(1 << (rest_bits - int(r) + 1) for r in regs)
+    a_num = 7213 * 1000 * m
+    a_den = 10000 * (1000 * m + 1079)
+    return (a_num * m * m * (1 << (rest_bits + 1))) // (a_den * hsum2)
+
+
+def approx_distinct(ds, key_col: str, p: int = 8):
+    """HyperLogLog distinct-count over ``ds[key_col]`` → one-row Dataset
+    (m, estimate, nonzero_registers). Valid range n ≳ 2.5·2^p (the
+    linear-counting small-range correction is omitted by design — see
+    module docstring)."""
+    import ray.data
+
+    from parser_rdf_ray.collect import bounded_take_all
+
+    m = 1 << p
+    rest_bits = 64 - p
+    pows = 1 << np.arange(rest_bits, dtype=np.uint64)  # for bit_length
+
+    partial_schema = pa.schema([("bucket", pa.int64()), ("reg", pa.int64())])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        hashes = np.fromiter(
+            (_md5_low64(str(v)) for v in col.to_pylist()),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
+        if len(hashes) == 0:
+            return partial_schema.empty_table()
+        bucket = (hashes >> np.uint64(rest_bits)).astype(np.int64)
+        v = hashes & np.uint64((1 << rest_bits) - 1)
+        # bit_length(v) = #powers of two ≤ v — one searchsorted, exact
+        bl = np.searchsorted(pows, v, side="right")
+        rho = (rest_bits + 1 - bl).astype(np.int64)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.Table.from_arrays(
+            [pa.array(nz.astype(np.int64)), pa.array(regs[nz])],
+            schema=partial_schema,
+        )
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Max("reg"))
+    )
+    rows = bounded_take_all(
+        merged, what="HLL register table", ceiling=4 * m
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    for r in rows:
+        regs[int(r["bucket"])] = int(r["max(reg)"])
+    est = hll_estimate_from_registers(regs, p)
+    return ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array([m], pa.int64()),
+                pa.array([est], pa.int64()),
+                pa.array([int((regs > 0).sum())], pa.int64()),
+            ],
+            schema=HLL_SCHEMA,
+        )
+    )

@@ -594,3 +594,77 @@ class TestJoinVariants:
         # exact partition of the customer table
         assert len(semi) + len(anti) == len(cust)
         assert len(semi) > 0 and len(anti) > 0
+
+
+class TestMovingWindow:
+    def test_matches_pandas_rolling(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import moving_window_sum
+
+        rng = np.random.RandomState(31)
+        base = pd.Timestamp("2025-03-01")
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 6, 300).astype(np.int64),
+                "event_id": np.arange(300, dtype=np.int64),
+                "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.randint(0, 5000, 300)],
+                "value": np.round(rng.uniform(-5, 5, 300), 6),
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "events.parquet")
+
+        got = (
+            moving_window_sum(str(sf), frame=3)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        df2 = df.copy()
+        df2["uv"] = np.round(df2.value * 1_000_000).astype(np.int64)
+        df2 = df2.sort_values(["user_id", "ts", "event_id"])
+        df2["mov"] = (
+            df2.groupby("user_id")["uv"].rolling(3, min_periods=1).sum().reset_index(0, drop=True)
+        )
+        df2["nw"] = (
+            df2.groupby("user_id")["uv"].rolling(3, min_periods=1).count().reset_index(0, drop=True)
+        )
+        exp = df2.sort_values("event_id").reset_index(drop=True)
+        assert len(got) == 300
+        assert got.mov_sum3.tolist() == (exp.mov / 1_000_000.0).tolist()
+        assert got.n_window.tolist() == exp.nw.astype(np.int64).tolist()
+
+
+class TestHllSketch:
+    def test_estimate_accuracy_and_determinism(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.sketch import approx_distinct
+
+        for n in (2000, 20000):
+            tbl = pa.Table.from_arrays(
+                [pa.array(np.arange(n, dtype=np.int64))], names=["k"]
+            )
+            r1 = approx_distinct(ray.data.from_arrow(tbl), "k", p=8).take_all()[0]
+            r2 = approx_distinct(
+                ray.data.from_arrow(tbl).repartition(7), "k", p=8
+            ).take_all()[0]
+            # deterministic and independent of block decomposition
+            assert r1 == r2
+            assert abs(r1["estimate"] - n) / n < 0.15  # ~2σ for m=256
+            assert r1["m"] == 256
+
+    def test_duplicates_do_not_inflate(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.sketch import approx_distinct
+
+        uniq = pa.Table.from_arrays(
+            [pa.array(np.arange(3000, dtype=np.int64))], names=["k"]
+        )
+        dup = pa.Table.from_arrays(
+            [pa.array(np.tile(np.arange(3000, dtype=np.int64), 5))], names=["k"]
+        )
+        e1 = approx_distinct(ray.data.from_arrow(uniq), "k").take_all()[0]["estimate"]
+        e2 = approx_distinct(ray.data.from_arrow(dup), "k").take_all()[0]["estimate"]
+        assert e1 == e2  # multiplicity is invisible to the register max
