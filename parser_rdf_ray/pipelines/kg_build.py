@@ -221,6 +221,99 @@ def two_hop_path_counts(adjacency_ds, num_partitions: int | None = None):
     return counts.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _graph_block_refs(edges):
+    """ObjectRefs of a materialized edge Dataset's blocks — refs only on
+    the driver; the blocks themselves stay in plasma."""
+    return [
+        br for bundle in edges.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+
+def _pagerank_small(edges, n_iter: int, dnum: int, scale: int):
+    """SIZE-ADAPTIVE single-task PageRank (edge count ≤
+    tuning.small_graph_max): the identical fixed-point int64 recurrence
+    as the distributed loop — integer arithmetic is order-independent, so
+    the two paths are bit-identical (pinned by
+    TestIterativeSmallGraphPath) — run in ONE Ray task instead of
+    n_iter × 2 exchanges, each of which has a ~0.5–1 s session floor that
+    dwarfs compute at this size. Blocks travel plasma→task, never the
+    driver."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    def solve(*blocks):
+        import numpy as np
+        import pyarrow as pa
+
+        # polars-sorted blocks may arrive as large_string next to
+        # string blocks (CLAUDE.md hazard) — permissive promote unifies
+        t = pa.concat_tables(list(blocks), promote_options="permissive")
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        n = len(nodes)
+        # local distinct-(src,dst): the distributed path's sorted_distinct
+        pid = np.unique(inv[: len(src)].astype(np.int64) * n + inv[len(src):])
+        s = (pid // n).astype(np.int64)
+        d = (pid % n).astype(np.int64)
+        outdeg = np.bincount(s, minlength=n).astype(np.int64)
+        ranks = np.full(n, scale, dtype=np.int64)
+        base = ((100 - dnum) * scale) // 100
+        for _ in range(n_iter):
+            w = np.where(outdeg > 0, ranks // np.maximum(outdeg, 1), 0)
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, d, w[s])  # exact int64 — no float ever
+            ranks = base + (dnum * contrib) // 100
+        return pa.Table.from_arrays(
+            [pa.array(nodes, pa.string()), pa.array(ranks / scale, pa.float64())],
+            names=["node", "rank"],
+        )
+
+    return ray.data.from_arrow_refs([solve.remote(*_graph_block_refs(edges))])
+
+
+def _components_small(edges):
+    """SIZE-ADAPTIVE single-task connected components: vectorized
+    min-label propagation with pointer jumping over int codes. Any
+    correct algorithm yields the same output (node → lexicographic-min
+    component member, nodes sorted so min index == min IRI), so this is
+    exactly the distributed fixpoint's answer in one task."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    def solve(*blocks):
+        import numpy as np
+        import pyarrow as pa
+
+        # polars-sorted blocks may arrive as large_string next to
+        # string blocks (CLAUDE.md hazard) — permissive promote unifies
+        t = pa.concat_tables(list(blocks), promote_options="permissive")
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        nodes = np.unique(src)  # both directions present → src covers all
+        s = np.searchsorted(nodes, src)
+        d = np.searchsorted(nodes, dst)
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            old = lab.copy()
+            np.minimum.at(lab, d, lab[s])
+            while True:  # pointer jumping to idempotence
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if np.array_equal(lab, old):
+                break
+        return pa.Table.from_arrays(
+            [pa.array(nodes, pa.string()), pa.array(nodes[lab], pa.string())],
+            names=["node", "component"],
+        )
+
+    return ray.data.from_arrow_refs([solve.remote(*_graph_block_refs(edges))])
+
+
 def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
              round_to: int = 6):
     """Iterative PageRank over the KG's IRI edge set — the engine's
@@ -272,19 +365,28 @@ def pagerank(adjacency_ds, n_iter: int = 5, damping: float = 0.85,
         dst = pc.cast(b.column("obj").combine_chunks(), pa.string())
         return pa.Table.from_arrays([src, dst], names=["src", "dst"])
 
-    edges = sorted_distinct(
-        adjacency_ds.map_batches(
-            iri_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        ),
-        ["src", "dst"],
+    edges_raw = adjacency_ds.map_batches(
+        iri_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
 
     empty = pa.Table.from_arrays(
         [pa.array([], pa.string()), pa.array([], pa.float64())],
         names=["node", "rank"],
     )
-    if edges.count() == 0:
+    n_edge_rows = edges_raw.count()
+    if n_edge_rows == 0:
         return ray.data.from_arrow(empty)
+
+    from parser_rdf_ray.tuning import small_graph_max
+
+    if n_edge_rows <= small_graph_max():
+        # raw (pre-distinct) rows go straight to the task — the pair
+        # dedup happens locally, skipping the sorted_distinct exchange
+        return _pagerank_small(
+            edges_raw, n_iter, round(damping * 100), 10 ** round_to
+        )
+
+    edges = sorted_distinct(edges_raw, ["src", "dst"]).materialize()
 
     def explode_nodes(b: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
@@ -510,19 +612,26 @@ def connected_components(adjacency_ds, max_iter: int = 50):
             names=["src", "dst"],
         )
 
-    edges = sorted_distinct(
-        adjacency_ds.map_batches(
-            iri_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        ),
-        ["src", "dst"],
+    edges_raw = adjacency_ds.map_batches(
+        iri_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
 
     empty = pa.Table.from_arrays(
         [pa.array([], pa.string()), pa.array([], pa.string())],
         names=["node", "component"],
     )
-    if edges.count() == 0:
+    n_edge_rows = edges_raw.count()
+    if n_edge_rows == 0:
         return ray.data.from_arrow(empty)
+
+    from parser_rdf_ray.tuning import small_graph_max
+
+    if n_edge_rows <= small_graph_max():
+        # duplicate edges cannot move a min-label fixpoint — the raw rows
+        # skip the sorted_distinct exchange entirely
+        return _components_small(edges_raw)
+
+    edges = sorted_distinct(edges_raw, ["src", "dst"]).materialize()
 
     prop_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
 

@@ -69,3 +69,22 @@ def tune_data_context() -> None:
         ctx.use_polars_sort = True
     except Exception:
         pass
+
+
+def small_graph_max() -> int:
+    """Edge-count threshold below which iterative graph ops (pagerank,
+    connected components) run their SIZE-ADAPTIVE single-task path: the
+    whole edge set fits one worker's heap, so N iterations of exact
+    integer arithmetic cost one task instead of N distributed exchanges
+    (each exchange has a ~0.5–1 s session floor that dwarfs compute at
+    this size — the stages/link.py SMALL_STATE_MAX_ENTRIES principle).
+    The distributed path is bit-identical (order-independent integer
+    arithmetic on both) and remains the path for corpus-scale graphs.
+    GRAFT_SMALL_GRAPH_MAX overrides; 0 forces the distributed path
+    (tests use this to pin both)."""
+    import os
+
+    env = os.environ.get("GRAFT_SMALL_GRAPH_MAX")
+    if env is not None:
+        return int(env)
+    return 2_000_000

@@ -668,3 +668,69 @@ class TestHllSketch:
         e1 = approx_distinct(ray.data.from_arrow(uniq), "k").take_all()[0]["estimate"]
         e2 = approx_distinct(ray.data.from_arrow(dup), "k").take_all()[0]["estimate"]
         assert e1 == e2  # multiplicity is invisible to the register max
+
+
+class TestIterativeSmallGraphPath:
+    """The size-adaptive single-task path and the distributed loop must be
+    BIT-IDENTICAL (both run the same order-independent integer
+    arithmetic). GRAFT_SMALL_GRAPH_MAX=0 forces the distributed path."""
+
+    def _adjacency(self, n_nodes=40, n_edges=300, seed=41):
+        import ray.data
+
+        rng = np.random.RandomState(seed)
+        pairs = {
+            (f"urn:n{int(a)}", f"urn:n{int(b)}")
+            for a, b in zip(rng.randint(0, n_nodes, n_edges), rng.randint(0, n_nodes, n_edges))
+            if a != b
+        }
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "subj": s, "pred": "p", "obj": o, "obj_kind": "iri",
+                    "obj_datatype": "", "obj_lang": "", "graph": "_:default",
+                }
+                for s, o in sorted(pairs)
+            ]
+        )
+        return ray.data.from_arrow(tbl)
+
+    def test_pagerank_paths_agree(self, ray_session, monkeypatch):
+        from parser_rdf_ray.pipelines.kg_build import pagerank
+
+        small = (
+            pagerank(self._adjacency(), n_iter=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        monkeypatch.setenv("GRAFT_SMALL_GRAPH_MAX", "0")
+        dist = (
+            pagerank(self._adjacency(), n_iter=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert small.node.tolist() == dist.node.tolist()
+        assert small["rank"].tolist() == dist["rank"].tolist()  # exact floats
+
+    def test_components_paths_agree(self, ray_session, monkeypatch):
+        from parser_rdf_ray.pipelines.kg_build import connected_components
+
+        # sparse graph → several nontrivial components
+        small = (
+            connected_components(self._adjacency(n_nodes=60, n_edges=45))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        monkeypatch.setenv("GRAFT_SMALL_GRAPH_MAX", "0")
+        dist = (
+            connected_components(self._adjacency(n_nodes=60, n_edges=45))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert small.node.tolist() == dist.node.tolist()
+        assert small.component.tolist() == dist.component.tolist()
+        assert small.component.nunique() > 1
