@@ -711,6 +711,16 @@ def _q_sketch_distinct(sf_dir: str):
     return approx_distinct(events, "event_id", p=8)
 
 
+def _q_sketch_heavy_hitters(sf_dir: str):
+    # count-min sketch top-10 terms, estimates replayed exactly in SQL
+    import ray.data
+
+    from parser_rdf_ray.pipelines.sketch import heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(docs, d=4, w=1024, k=10)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     # Lloyd's k-means, 3 assignment rounds, exact int64 arithmetic
     import ray.data
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anti_join": _q_rel_anti_join,
         "rel_moving_window": _q_rel_moving_window,
         "sketch_distinct": _q_sketch_distinct,
+        "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1543,6 +1554,32 @@ SELECT CAST(256 AS BIGINT) AS m,
          AS estimate,
        CAST(nz AS BIGINT) AS nonzero_registers
 FROM s
+"""
+
+    # Count-min replayed exactly: same md5-low64 row hashes, exact int
+    # counters, min-over-rows estimate — collisions overcount identically
+    # on both sides. Tokenizer is the top_ngrams contract.
+    sql["sketch_heavy_hitters"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+  FROM documents
+),
+cm AS (
+  SELECT j.j,
+         md5_number_lower(CONCAT(CAST(j.j AS VARCHAR), ':', term)) % 1024 AS col,
+         COUNT(*) AS cnt
+  FROM toks CROSS JOIN range(0, 4) j(j)
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT term FROM toks),
+est AS (
+  SELECT cand.term, CAST(MIN(cm.cnt) AS BIGINT) AS est_count
+  FROM cand CROSS JOIN range(0, 4) j(j)
+  JOIN cm ON cm.j = j.j
+         AND cm.col = md5_number_lower(CONCAT(CAST(j.j AS VARCHAR), ':', cand.term)) % 1024
+  GROUP BY cand.term
+)
+SELECT term, est_count FROM est ORDER BY est_count DESC, term LIMIT 10
 """
 
     sql["rel_semi_join"] = """

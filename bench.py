@@ -150,6 +150,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "text_tfidf",
         "embedding_kmeans",
         "sketch_distinct",
+        "sketch_heavy_hitters",
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -120,3 +120,126 @@ def approx_distinct(ds, key_col: str, p: int = 8):
             schema=HLL_SCHEMA,
         )
     )
+
+
+CM_SCHEMA = pa.schema([("term", pa.string()), ("est_count", pa.int64())])
+
+
+def heavy_hitters(documents_ds, d: int = 4, w: int = 1024, k: int = 10):
+    """Count-min-sketch heavy hitters over word occurrences — the
+    frequency-estimation sketch (top-k terms without a vocabulary-sized
+    exact count). Same determinism contract as approx_distinct: row
+    hashes are md5-low64 of ``f"{j}:{term}"`` (== DuckDB
+    md5_number_lower(concat(j, ':', term))), counters are exact int64,
+    the estimate is min over the d counters, and ties rank (count desc,
+    term asc) — the SQL oracle replays the sketch bit-for-bit,
+    overcounts from hash collisions included.
+
+    Tokenization matches top_ngrams (lower, split \\W+, drop empties).
+
+    Scale shape: each batch folds its tokens into a LOCAL d×w counter
+    matrix (np.add.at) and emits only nonzero cells, so the exchange is
+    sketch-sized (≤ d·w rows per block), never token-stream-sized; the
+    merged d×w matrix (a bounded driver collect) ships back into a
+    closure for the vectorized estimate pass over the distinct-term set.
+    """
+    import re
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from parser_rdf_ray.collect import bounded_take_all
+    from parser_rdf_ray.stages.groups import sorted_distinct
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    token_re = re.compile(r"\W+")
+
+    def tokens_of(batch: pa.Table) -> list[str]:
+        out: list[str] = []
+        for t in batch.column("text").to_pylist():
+            out.extend(x for x in token_re.split(t.lower()) if x)
+        return out
+
+    cell_schema = pa.schema(
+        [("j", pa.int64()), ("col", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial_cells(batch: pa.Table) -> pa.Table:
+        toks = tokens_of(batch)
+        if not toks:
+            return cell_schema.empty_table()
+        cm = np.zeros((d, w), dtype=np.int64)
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        for j in range(d):
+            cols = np.fromiter(
+                (_md5_low64(f"{j}:{t}") % w for t in uniq),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            np.add.at(cm[j], cols, counts)
+        jj, cc = np.nonzero(cm)
+        return pa.Table.from_arrays(
+            [
+                pa.array(jj.astype(np.int64)),
+                pa.array(cc.astype(np.int64)),
+                pa.array(cm[jj, cc]),
+            ],
+            schema=cell_schema,
+        )
+
+    merged = (
+        documents_ds.map_batches(
+            partial_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["j", "col"])
+        .aggregate(Sum("cnt"))
+    )
+    rows = bounded_take_all(merged, what="count-min sketch cells", ceiling=4 * d * w)
+    cm = np.zeros((d, w), dtype=np.int64)
+    for r in rows:
+        cm[int(r["j"]), int(r["col"])] = int(r["sum(cnt)"])
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        toks = tokens_of(batch)
+        return pa.Table.from_arrays(
+            [pa.array(sorted(set(toks)), pa.string())], names=["term"]
+        )
+
+    cand = sorted_distinct(
+        documents_ds.map_batches(
+            term_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["term"],
+    )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        if not terms:
+            return CM_SCHEMA.empty_table()
+        est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(d):
+            cols = np.fromiter(
+                (_md5_low64(f"{j}:{t}") % w for t in terms),
+                dtype=np.int64,
+                count=len(terms),
+            )
+            est = np.minimum(est, cm[j, cols])
+        return pa.Table.from_arrays(
+            [pa.array(terms, pa.string()), pa.array(est)], schema=CM_SCHEMA
+        )
+
+    ests = cand.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch, sort_keys=[("est_count", "descending"), ("term", "ascending")]
+        )
+        return batch.take(idx[: min(k, len(idx))])
+
+    partial = ests.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return partial.sort(["est_count", "term"], descending=[True, False]).limit(k)

@@ -734,3 +734,53 @@ class TestIterativeSmallGraphPath:
         assert small.node.tolist() == dist.node.tolist()
         assert small.component.tolist() == dist.component.tolist()
         assert small.component.nunique() > 1
+
+
+class TestCountMinSketch:
+    def test_never_underestimates_and_exact_without_collisions(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.sketch import heavy_hitters
+
+        words = ["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 10 + ["delta"] * 2
+        rng = np.random.RandomState(37)
+        rng.shuffle(words)
+        docs = [" ".join(words[i::10]) for i in range(10)]
+        df = pd.DataFrame({"text": docs})
+        # w large vs 4 distinct terms → collisions practically impossible:
+        # estimates are the TRUE counts and ranking is exact
+        got = (
+            heavy_hitters(ray.data.from_pandas(df), d=4, w=4096, k=4)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got.term.tolist() == ["alpha", "beta", "gamma", "delta"]
+        assert got.est_count.tolist() == [50, 30, 10, 2]
+
+    def test_collisions_only_overcount(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.sketch import heavy_hitters
+
+        rng = np.random.RandomState(43)
+        vocab = [f"w{i}" for i in range(500)]
+        words = [vocab[i] for i in rng.randint(0, 500, 5000)]
+        true = pd.Series(words).value_counts()
+        df = pd.DataFrame({"text": [" ".join(words[i::20]) for i in range(20)]})
+        # tiny w → heavy collisions; CM may only OVERcount, never under
+        got = heavy_hitters(ray.data.from_pandas(df), d=4, w=64, k=500).to_pandas()
+        est = dict(zip(got.term, got.est_count))
+        assert all(est[t] >= c for t, c in true.items() if t in est)
+
+    def test_decomposition_invariance(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.sketch import heavy_hitters
+
+        df = pd.DataFrame({"text": [f"tok{i % 40} tok{i % 7}" for i in range(200)]})
+        a = heavy_hitters(ray.data.from_pandas(df), k=10).to_pandas()
+        b = heavy_hitters(
+            ray.data.from_pandas(df).repartition(9), k=10
+        ).to_pandas()
+        assert a.term.tolist() == b.term.tolist()
+        assert a.est_count.tolist() == b.est_count.tolist()
