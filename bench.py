@@ -152,6 +152,8 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "sketch_distinct",
         "sketch_heavy_hitters",
     ]
+    import gc
+
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()
@@ -160,6 +162,11 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         if hasattr(res, "count"):
             res.count()
         out[name] = round(time.time() - t0, 3)
+        # drop the dataset's plasma references before the next query so
+        # earlier pipelines' materialized blocks can't crowd the object
+        # store and inflate later timings
+        res = None  # noqa: F841
+        gc.collect()
     return out
 
 
