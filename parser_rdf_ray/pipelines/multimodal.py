@@ -2,10 +2,17 @@
 
 Media spans are opaque references/bytes with typed metadata. The Ray-side
 plumbing — schemas, batch sizing, actor-pool signatures, output layout —
-is real and tested; the actual codec work is STUBBED (image/audio libraries
-are not in this environment) behind MediaDecoder.decode_real, which raises
-NotImplementedError, with a clearly-marked deterministic fake used so the
-pipeline shape is exercisable end-to-end.
+is real and tested. Codec status:
+
+- REAL (pure-numpy, no external library): netpbm P5/P6 images, 24-bit
+  uncompressed BMP, and RIFF/WAVE PCM-16 audio — decode, luminance /
+  energy histogram features, and nearest-neighbor resize with P6
+  re-encode (`_decode_image` / `_decode_wav_pcm16` / `_nearest_resize`).
+- STUBBED: compressed formats (JPEG/PNG/MP3/H.264 …) require codec
+  libraries absent from this build; `decode_real` raises
+  NotImplementedError for those, and the clearly-marked deterministic
+  fake remains the default for the driver corpus's ref-only (payload-
+  less) media rows so the oracle contract is unchanged.
 
 Batch-size note (100 TB design): media payloads are large binaries, so
 these stages should run with small batch_size (e.g. 16-64) and actor pools
@@ -18,6 +25,109 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+def _decode_netpbm(data: bytes) -> np.ndarray:
+    """P6 (RGB) / P5 (gray) binary netpbm → uint8 array (h, w[, 3])."""
+    import re
+
+    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", data)
+    if not m:
+        raise ValueError("not a binary netpbm payload")
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval != 255:
+        raise ValueError("only maxval=255 netpbm supported")
+    body = data[m.end():]
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(body[: w * h * ch], dtype=np.uint8)
+    if arr.size != w * h * ch:
+        raise ValueError("truncated netpbm payload")
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def _decode_bmp24(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → uint8 (h, w, 3) RGB (rows are
+    stored bottom-up, 4-byte padded; we flip to top-down)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data[off : off + stride * abs(h)], dtype=np.uint8)
+    rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    bgr = rows[::-1] if h > 0 else rows  # bottom-up unless height negative
+    return bgr[:, :, ::-1]  # BGR → RGB
+
+
+def _decode_image(data: bytes) -> np.ndarray:
+    if data[:2] in (b"P6", b"P5"):
+        return _decode_netpbm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp24(data)
+    raise NotImplementedError(
+        "compressed image formats require codecs not present in this build"
+    )
+
+
+def _decode_wav_pcm16(data: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM-16 → int16 sample array (channels interleaved)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    fmt_ok = False
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM-16 WAVE supported")
+            fmt_ok = True
+        elif cid == b"data" and fmt_ok:
+            return np.frombuffer(body[: size & ~1], dtype="<i2")
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAVE data chunk not found")
+
+
+def _image_feature(img: np.ndarray) -> np.ndarray:
+    """16-bin normalized luminance histogram — a real (if simple) content
+    feature: identical images agree, edits move it."""
+    lum = img if img.ndim == 2 else (
+        # integer Rec.601 luma: (299R + 587G + 114B) // 1000
+        (img[:, :, 0].astype(np.int32) * 299
+         + img[:, :, 1].astype(np.int32) * 587
+         + img[:, :, 2].astype(np.int32) * 114) // 1000
+    )
+    hist = np.bincount((lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM)
+    return (hist / max(lum.size, 1)).astype(np.float32)
+
+
+def _audio_feature(samples: np.ndarray) -> np.ndarray:
+    """16-bin normalized magnitude histogram over PCM-16 samples."""
+    mag = np.minimum(np.abs(samples.astype(np.int32)) >> 11, FEATURE_DIM - 1)
+    hist = np.bincount(mag, minlength=FEATURE_DIM)
+    return (hist / max(samples.size, 1)).astype(np.float32)
+
+
+def _nearest_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def _encode_ppm(img: np.ndarray) -> bytes:
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -74,11 +184,20 @@ class MediaDecoder:
         # real implementation would load codecs / a feature model here, once
 
     def decode_real(self, payload: bytes, kind: str) -> np.ndarray:
-        # STUB: image/audio decode libraries are not available in this
-        # environment. The interface (bytes + kind → float32 feature vec)
-        # is the real contract.
+        """REAL decode for the uncompressed formats this build can handle
+        without external codecs: netpbm P5/P6 and 24-bit BMP images
+        (16-bin luminance-histogram feature) and RIFF/WAVE PCM-16 audio
+        (16-bin magnitude-histogram feature). Compressed formats
+        (JPEG/PNG/MP3/…) still raise NotImplementedError — they need
+        codec libraries absent from this environment."""
+        if not payload:
+            raise NotImplementedError("ref-only media row has no payload bytes")
+        if payload[:2] in (b"P6", b"P5", b"BM"):
+            return _image_feature(_decode_image(payload))
+        if payload[:4] == b"RIFF":
+            return _audio_feature(_decode_wav_pcm16(payload))
         raise NotImplementedError(
-            "media decoding requires image/audio codecs not present in this build"
+            "compressed media formats require codecs not present in this build"
         )
 
     def _decode_fake(self, ref: str, kind: str) -> np.ndarray:
@@ -101,7 +220,9 @@ class MediaDecoder:
                 else:
                     vec = self.decode_real(payload, kind)
                 ok = True
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
+                # unsupported/compressed format or malformed payload →
+                # a well-formed zero feature with decode_ok=False
                 vec = np.zeros(FEATURE_DIM, dtype=np.float32)
                 ok = False
             out["doc_id"].append(doc_id)
@@ -154,32 +275,46 @@ class MediaResizer:
         self.out_w, self.out_h = out_w, out_h
         self.use_stub = use_stub  # real impl would load the codec here, once
 
-    def resize_real(self, payload: bytes, out_w: int, out_h: int) -> bytes:
-        raise NotImplementedError(
-            "image resize requires codecs not present in this build"
-        )
+    def resize_real(self, payload: bytes, out_w: int, out_h: int) -> tuple:
+        """REAL resize for uncompressed images (netpbm / 24-bit BMP):
+        pure-numpy nearest-neighbor index resize, re-encoded as P6 PPM.
+        Returns (src_w, src_h, encoded_bytes). Compressed formats raise
+        NotImplementedError (no codec libraries in this build)."""
+        img = _decode_image(payload)
+        src_h, src_w = img.shape[:2]
+        return src_w, src_h, _encode_ppm(_nearest_resize(img, out_h, out_w))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {n: [] for n in RESIZE_SCHEMA.names}
-        for doc_id, ref, kind in zip(
+        payloads = (
+            batch.column("payload").to_pylist()
+            if "payload" in batch.schema.names
+            else [b""] * batch.num_rows
+        )
+        for doc_id, ref, kind, payload in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("media_ref").to_pylist(),
             batch.column("media_kind").to_pylist(),
+            payloads,
         ):
             if kind != "image":
                 continue
-            # deterministic fake source dims (SQL-derivable): the media
-            # index i is the ref suffix
-            i = int(ref.rsplit("/", 1)[-1]) if ref.rsplit("/", 1)[-1].isdigit() else 0
-            src_w = 64 + 32 * ((int(doc_id) + i) % 7) if doc_id.isdigit() else 64
-            src_h = 64 + 32 * ((int(doc_id) * 3 + i) % 5) if doc_id.isdigit() else 64
+            if not self.use_stub and payload:
+                src_w, src_h, data = self.resize_real(payload, self.out_w, self.out_h)
+            else:
+                # deterministic fake source dims (SQL-derivable): the media
+                # index i is the ref suffix
+                i = int(ref.rsplit("/", 1)[-1]) if ref.rsplit("/", 1)[-1].isdigit() else 0
+                src_w = 64 + 32 * ((int(doc_id) + i) % 7) if doc_id.isdigit() else 64
+                src_h = 64 + 32 * ((int(doc_id) * 3 + i) % 5) if doc_id.isdigit() else 64
+                data = b""
             out["doc_id"].append(doc_id)
             out["media_ref"].append(ref)
             out["src_w"].append(src_w)
             out["src_h"].append(src_h)
             out["out_w"].append(self.out_w)
             out["out_h"].append(self.out_h)
-            out["payload"].append(b"")
+            out["payload"].append(data)
         return pa.Table.from_arrays(
             [pa.array(out[n], RESIZE_SCHEMA.field(n).type) for n in RESIZE_SCHEMA.names],
             schema=RESIZE_SCHEMA,
