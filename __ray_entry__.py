@@ -711,6 +711,17 @@ def _q_sketch_distinct(sf_dir: str):
     return approx_distinct(events, "event_id", p=8)
 
 
+def _q_media_decode_real(sf_dir: str):
+    # REAL codec path end-to-end: P6 payloads generated from doc_id,
+    # decoded by the actual netpbm parser, histogram replayed in SQL
+    import ray.data
+
+    from parser_rdf_ray.pipelines.multimodal import media_decode_real
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return media_decode_real(docs)
+
+
 def _q_sketch_heavy_hitters(sf_dir: str):
     # count-min sketch top-10 terms, estimates replayed exactly in SQL
     import ray.data
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_moving_window": _q_rel_moving_window,
         "sketch_distinct": _q_sketch_distinct,
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
+        "media_decode_real": _q_media_decode_real,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1554,6 +1566,28 @@ SELECT CAST(256 AS BIGINT) AS m,
          AS estimate,
        CAST(nz AS BIGINT) AS nonzero_registers
 FROM s
+"""
+
+    # The REAL netpbm decoder oracle: pixels are a pure function of
+    # doc_id (byte k = (doc_id·31 + k·7) % 256), so SQL regenerates the
+    # image the pipeline encoded+decoded, recomputes the integer Rec.601
+    # luma and 16-bin histogram, and divides by 128 (a power of two —
+    # exact in both float32 and float64).
+    sql["media_decode_real"] = """
+WITH px AS (
+  SELECT doc_id, t.k,
+         (doc_id * 31 + (3 * t.k) * 7) % 256 AS r,
+         (doc_id * 31 + (3 * t.k + 1) * 7) % 256 AS g,
+         (doc_id * 31 + (3 * t.k + 2) * 7) % 256 AS b
+  FROM documents CROSS JOIN range(0, 128) t(k)
+),
+lum AS (
+  SELECT doc_id, ((299 * r + 587 * g + 114 * b) // 1000) // 16 AS bin FROM px
+),
+counts AS (SELECT doc_id, bin, COUNT(*) AS c FROM lum GROUP BY 1, 2)
+SELECT d.doc_id, t.i AS bin, COALESCE(c, 0) / 128.0 AS value
+FROM documents d CROSS JOIN range(0, 16) t(i)
+LEFT JOIN counts ON counts.doc_id = d.doc_id AND counts.bin = t.i
 """
 
     # Count-min replayed exactly: same md5-low64 row hashes, exact int

@@ -134,6 +134,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "embedding_centroids",
         "media_features",
         "media_frames",
+        "media_decode_real",
         "rel_lineitem_agg",
         "rel_join_topk",
         "rel_events_window",
