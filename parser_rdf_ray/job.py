@@ -55,6 +55,15 @@ def main(argv: list[str] | None = None) -> None:
         help="local-mode CPU cap (cluster-size stand-in for scaling runs); "
         "ignored when RAY_ADDRESS points at a real cluster",
     )
+    ap.add_argument(
+        "--pipeline",
+        choices=["kg", "corpus"],
+        default="kg",
+        help="kg: KG build (default). corpus: training-data curation — "
+        "quality gate → near-dup dedup → representatives ⋈ documents "
+        "→ train/val split, written as resumable partitioned Parquet "
+        "with the curation-trust report in metrics.json",
+    )
     args = ap.parse_args(argv)
 
     # One rayon thread per Ray worker (set BEFORE ray.init so workers
@@ -80,6 +89,10 @@ def main(argv: list[str] | None = None) -> None:
     from parser_rdf_ray.stages import canonicalize as canon
 
     from parser_rdf_ray.state import lineage
+
+    if args.pipeline == "corpus":
+        _run_corpus_job(args)
+        return
 
     t0 = time.time()
     docs = read_span_documents(args.input, replicate=args.replicate)
@@ -161,6 +174,70 @@ def main(argv: list[str] | None = None) -> None:
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
     print(json.dumps(metrics))
+    ray.shutdown()
+
+
+def _run_corpus_job(args) -> None:
+    """--pipeline corpus: curated training corpus with split, written as
+    resumable partitioned Parquet + a trust report (docs in, survivors,
+    kept reps, per-split rows, LSH bucket audit) in metrics.json."""
+    import json as _json
+
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.pipelines.curation import curated_corpus_with_split
+    from parser_rdf_ray.pipelines.dedup import minhash_bucket_audit
+    from parser_rdf_ray.pipelines.curation import quality_filter
+    from parser_rdf_ray.state import lineage
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(
+        os.path.join(args.input, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    curated = curated_corpus_with_split(docs)
+    curated_ds, resumed = lineage.checkpoint_stage(
+        curated, args.output, "curated", fingerprint=args.run_id, run_id=args.run_id
+    )
+    manifest = lineage.read_manifest(args.output, "curated") or {}
+
+    import pyarrow as pa  # noqa: F401
+    import pyarrow.compute as pc
+
+    def split_counts(b):
+        import pyarrow as pa
+
+        t = pa.Table.from_arrays([b.column("split")], names=["split"])
+        return t.group_by("split").aggregate([("split", "count")]).rename_columns(
+            ["split", "n"]
+        )
+
+    per_split: dict[str, int] = {}
+    for row in curated_ds.map_batches(
+        split_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("split").sum("n").take_all():
+        per_split[row["split"]] = int(row["sum(n)"])
+
+    survivors = quality_filter(docs).materialize()
+    wall = time.time() - t0
+    metrics = {
+        "run_id": args.run_id,
+        "pipeline": "corpus",
+        "input": args.input,
+        "docs_in": docs.count(),
+        "quality_survivors": survivors.count(),
+        "kept": manifest.get("total_rows", 0),
+        "split_rows": per_split,
+        "partitions": len(manifest.get("partitions", [])),
+        "resumed": resumed,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(docs.count() / wall, 1) if wall > 0 else 0.0,
+        **minhash_bucket_audit(survivors),
+    }
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        _json.dump(metrics, f, indent=1)
+    print(_json.dumps(metrics))
     ray.shutdown()
 
 

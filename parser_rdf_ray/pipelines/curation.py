@@ -166,3 +166,113 @@ def filter_blocklist(documents_ds, blocked_sources: list[str]):
         ).filter(keep)
 
     return documents_ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CURATED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("split", pa.string()),
+    ]
+)
+
+
+def curated_corpus_with_split(
+    documents_ds,
+    min_tokens: int = 20,
+    min_alpha: float = 0.6,
+    threshold: float = 0.8,
+    train_pct: int = 90,
+):
+    """The deliverable a training run actually consumes: the curated
+    keep-set joined back to full document rows, with the deterministic
+    train/val split attached — quality gate → near-dup clustering →
+    representatives → semi join → hash split, end to end.
+
+    The keep-set ⋈ documents step is the engine's sorted-run SEMI JOIN
+    (tagged union, ONE doc_id sort, vectorized existence scan) — the
+    kept set is corpus-scale, so no broadcast. Split membership is the
+    hash_split md5 contract (pure function of doc_id, growth-stable)."""
+    import numpy as np
+
+    from parser_rdf_ray.stages.groups import run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    kept = curate_corpus(documents_ds, min_tokens, min_alpha, threshold)
+
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("kind", pa.int8()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+        ]
+    )
+
+    def tag_kept(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_id"), pa.int64()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_id"), pa.int64()),
+                pa.array(np.ones(n, dtype=np.int8)),
+                pc.cast(b.column("text"), pa.string()),
+                pc.cast(b.column("lang"), pa.string()),
+                pc.cast(b.column("source"), pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    tagged = kept.map_batches(
+        tag_kept, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        documents_ds.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    srt = tagged.sort("doc_id")
+
+    def join_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return CURATED_SCHEMA.empty_table()
+        starts, _ = run_spans(batch, ["doc_id"])
+        kinds = batch.column("kind").to_numpy()
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        kept_in_run = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        keep = (kinds == 1) & kept_in_run[run_ids]
+        rows = batch.filter(pa.array(keep))
+        ids = rows.column("doc_id").to_pylist()
+        split = pa.array(
+            ["train" if _md5_low64(str(i)) % 100 < train_pct else "val" for i in ids],
+            pa.string(),
+        )
+        return pa.Table.from_arrays(
+            [
+                rows.column("doc_id"),
+                rows.column("text"),
+                rows.column("lang"),
+                rows.column("source"),
+                split,
+            ],
+            schema=CURATED_SCHEMA,
+        )
+
+    return srt.map_batches(
+        join_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -914,3 +914,51 @@ class TestRealMediaCodecs:
         decoded = _decode_netpbm(got.payload[0])
         assert decoded.shape == (6, 8, 3)
         np.testing.assert_array_equal(decoded, _nearest_resize(img, 6, 8))
+
+
+class TestCuratedCorpusWithSplit:
+    def test_rows_and_split_match_components(self, ray_session):
+        """curated_corpus_with_split == (curate_corpus ids) semi-joined to
+        full rows + the md5 split rule — checked against the components
+        computed independently."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import (
+            curate_corpus,
+            curated_corpus_with_split,
+        )
+
+        rng = np.random.RandomState(61)
+        words = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 3
+        texts = []
+        for i in range(120):
+            base = " ".join(words) + f" doc{i % 40}"  # 3x near-dup groups
+            texts.append(base)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(120, dtype=np.int64),
+                "text": texts,
+                "lang": ["en"] * 120,
+                "source": [f"s{i % 5}" for i in range(120)],
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        got = (
+            curated_corpus_with_split(ds, min_tokens=5, min_alpha=0.5, train_pct=80)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        kept_ids = sorted(
+            r["doc_id"]
+            for r in curate_corpus(ds, min_tokens=5, min_alpha=0.5).take_all()
+        )
+        assert got.doc_id.tolist() == kept_ids
+        assert len(kept_ids) < 120  # near-dups actually collapsed
+        sub = df.set_index("doc_id").loc[got.doc_id]
+        assert got.text.tolist() == sub.text.tolist()
+        assert got.source.tolist() == sub.source.tolist()
+        expected_split = [
+            "train" if _md5_low64(str(i)) % 100 < 80 else "val" for i in got.doc_id
+        ]
+        assert got.split.tolist() == expected_split
