@@ -236,14 +236,24 @@ class MediaDecoder:
         )
 
 
-def media_features(documents_ds, batch_size: int = 64, concurrency=(1, 4)):
-    """documents(spans) → media feature rows. Small batches + actor pool:
-    the binary-payload memory contract for multimodal stages."""
+def media_features(documents_ds, batch_size: int = 64, concurrency=(1, 4),
+                   use_stub: bool = True):
+    """documents(spans) → media feature rows, small batches (the
+    binary-payload memory contract). COMPUTE IS STATE-ADAPTIVE (the
+    stages/link.py principle: actor pools only for genuinely expensive
+    state): the deterministic fake holds no state, so it rides a plain
+    task pool with zero cold start; real codec work (use_stub=False)
+    runs the actor pool so codec/model setup amortizes per actor."""
     media = documents_ds.map_batches(
         media_rows_from_documents, batch_format="pyarrow", zero_copy_batch=True
     )
+    if use_stub:
+        return media.map_batches(
+            MediaDecoder(), batch_format="pyarrow", batch_size=batch_size
+        )
     return media.map_batches(
         MediaDecoder,
+        fn_constructor_kwargs={"use_stub": False},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -361,21 +371,33 @@ class FrameSampler:
         )
 
 
-def media_resize(documents_ds, batch_size: int = 64, concurrency=(1, 4)):
+def media_resize(documents_ds, batch_size: int = 64, concurrency=(1, 4),
+                 use_stub: bool = True):
+    # state-adaptive like media_features: task pool for the stateless
+    # fake, actor pool only when real codec state exists
+    media = documents_ds.map_batches(
+        media_rows_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if use_stub:
+        return media.map_batches(
+            MediaResizer(), batch_format="pyarrow", batch_size=batch_size
+        )
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"use_stub": False},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_frames(documents_ds, batch_size: int = 64):
+    # FrameSampler never holds state — always a plain task pool
     media = documents_ds.map_batches(
         media_rows_from_documents, batch_format="pyarrow", zero_copy_batch=True
     )
     return media.map_batches(
-        MediaResizer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
-    )
-
-
-def media_frames(documents_ds, batch_size: int = 64, concurrency=(1, 4)):
-    media = documents_ds.map_batches(
-        media_rows_from_documents, batch_format="pyarrow", zero_copy_batch=True
-    )
-    return media.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        FrameSampler(), batch_format="pyarrow", batch_size=batch_size
     )
 
 
