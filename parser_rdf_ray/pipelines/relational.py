@@ -817,6 +817,11 @@ def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
     side + replicate the build row if a key exceeds block scale (same
     hazard as any hash join; documented, not hit by TPC-H keys).
     Money stays in int64 cents through the exchange (no float hazard).
+
+    Assumes the build side is UNIQUE on the join key (customer PK): a
+    duplicate build row would contribute only its run's first row rather
+    than fanning out per duplicate — use a grouped-run pairing if a
+    many-to-many join is ever needed.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
