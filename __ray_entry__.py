@@ -722,6 +722,31 @@ def _q_media_decode_real(sf_dir: str):
     return media_decode_real(docs)
 
 
+def _q_graph_triangles(sf_dir: str):
+    # triangle count of the near-dup similarity graph (cluster cohesion):
+    # minhash pairs → degree-oriented distributed triangle counting
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.dedup import minhash_lsh_dedup
+    from parser_rdf_ray.pipelines.kg_build import triangle_count
+
+    pairs = minhash_lsh_dedup(_flat_docs(sf_dir), threshold=0.8)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("doc_a"), pa.string()),
+                pc.cast(b.column("doc_b"), pa.string()),
+            ],
+            names=["a", "b"],
+        )
+
+    return triangle_count(
+        pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def _q_sketch_heavy_hitters(sf_dir: str):
     # count-min sketch top-10 terms, estimates replayed exactly in SQL
     import ray.data
@@ -863,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_distinct": _q_sketch_distinct,
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "media_decode_real": _q_media_decode_real,
+        "graph_triangles": _q_graph_triangles,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1567,6 +1593,17 @@ SELECT CAST(256 AS BIGINT) AS m,
        CAST(nz AS BIGINT) AS nonzero_registers
 FROM s
 """
+
+    # Triangle COUNT is labeling-convention independent (each triangle
+    # counted exactly once by any consistent orientation), so the oracle
+    # is the plain ordered triple join over the same verified pair set.
+    sql["graph_triangles"] = (
+        "WITH e AS (SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b "
+        f"FROM ({{minhash}}) pairs) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    ).format(minhash=sql["dedup_minhash"])
 
     # The REAL netpbm decoder oracle: pixels are a pure function of
     # doc_id (byte k = (doc_id·31 + k·7) % 256), so SQL regenerates the

@@ -152,6 +152,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "embedding_kmeans",
         "sketch_distinct",
         "sketch_heavy_hitters",
+        "graph_triangles",
     ]
     import gc
 

@@ -763,3 +763,274 @@ def connected_components(adjacency_ds, max_iter: int = 50):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+TRIANGLES_SCHEMA = None  # set below (module imports pa lazily elsewhere)
+
+
+def triangle_count(edges_ds):
+    """EXACT global triangle count over an undirected edge Dataset
+    (columns a, b; any orientation, duplicates/self-loops tolerated) —
+    the graph-analytics join workload (community density, near-dup
+    cluster cohesion).
+
+    Plan — every step an engine primitive, no driver state beyond the
+    final scalar:
+      1. canonicalize (min,max) + drop self-loops → global distinct
+         (ONE sort, sorted_distinct), materialized once (used twice).
+      2. degrees: endpoint explode → ONE node sort → run lengths
+         (co-partitioned, so a run length IS the global degree).
+      3+4. two tagged-union sorted-run merge joins attach both endpoint
+         degrees to each edge.
+      5. DEGREE ORIENTATION: direct each edge from the (degree, node)-
+         smaller endpoint — out-degree is then O(√m), so the hub node
+         that makes naive center-wedge counting quadratic (a KG's
+         rdf:type target, a dup-cluster star) is designed out.
+      6. wedges: ONE src sort; per out-neighbor run, vectorized
+         triu-pair emission (runs are orientation-bounded).
+      7. closing-edge check: candidates ∪ edges through ONE (a,b) sort;
+         per-block run scan counts wedges whose run holds an edge row —
+         each triangle has exactly one orientation-apex, so the count is
+         exact with no dedup step.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import run_spans, sorted_distinct
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    out_schema = pa.schema([("n_triangles", pa.int64())])
+
+    def canon(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("a"), pa.string())
+        y = pc.cast(b.column("b"), pa.string())
+        lo = pc.min_element_wise(x, y)
+        hi = pc.max_element_wise(x, y)
+        t = pa.Table.from_arrays([lo, hi], names=["a", "b"])
+        return t.filter(pc.not_equal(t.column("a"), t.column("b")))
+
+    edges = sorted_distinct(
+        edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+    ).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_arrays([pa.array([0], pa.int64())], schema=out_schema)
+        )
+
+    # 2. degrees via co-partitioned run lengths
+    def explode(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [b.column("a").combine_chunks(), b.column("b").combine_chunks()]
+        )
+        return pa.Table.from_arrays([pc.cast(both, pa.string())], names=["node"])
+
+    deg_schema = pa.schema([("node", pa.string()), ("d", pa.int64())])
+
+    def deg_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return deg_schema.empty_table()
+        starts, ends = run_spans(b, ["node"])
+        return pa.Table.from_arrays(
+            [
+                b.column("node").take(pa.array(starts)),
+                pa.array((ends - starts).astype(np.int64)),
+            ],
+            schema=deg_schema,
+        )
+
+    deg = (
+        edges.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("node")
+        .map_batches(deg_block, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+
+    # 3+4. attach endpoint degrees via two tagged-union run-scan joins
+    def attach_degree(rows_ds, key_col: str, carry: list[str], out_name: str):
+        carry_types = {"other": pa.string(), "da": pa.int64()}
+        u_fields = [("key", pa.string()), ("kind", pa.int8()), ("d", pa.int64())]
+        u_fields += [(c, carry_types[c]) for c in carry]
+        u_schema = pa.schema(u_fields)
+
+        def tag_deg(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = [
+                pc.cast(b.column("node"), pa.string()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+                pc.cast(b.column("d"), pa.int64()),
+            ] + [pa.nulls(n, carry_types[c]) for c in carry]
+            return pa.Table.from_arrays(cols, schema=u_schema)
+
+        def tag_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = [
+                pc.cast(b.column(key_col), pa.string()),
+                pa.array(np.ones(n, dtype=np.int8)),
+                pa.nulls(n, pa.int64()),
+            ] + [pc.cast(b.column(c), carry_types[c]) for c in carry]
+            return pa.Table.from_arrays(cols, schema=u_schema)
+
+        tagged = deg.map_batches(
+            tag_deg, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            rows_ds.map_batches(tag_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        srt = tagged.sort("key")
+        out_fields = [("key", pa.string())] + [
+            (c, carry_types[c]) for c in carry
+        ] + [(out_name, pa.int64())]
+        out_schema_j = pa.schema(out_fields)
+
+        def join_block(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema_j.empty_table()
+            batch = batch.sort_by([("key", "ascending"), ("kind", "ascending")])
+            starts, _ = run_spans(batch, ["key"])
+            kinds = batch.column("kind").to_numpy()
+            marks = np.zeros(batch.num_rows, dtype=np.int64)
+            marks[starts] = 1
+            run_ids = np.cumsum(marks) - 1
+            has_deg = kinds[starts] == 0  # every endpoint HAS a degree row
+            probe = (kinds == 1) & has_deg[run_ids]
+            idx = np.flatnonzero(probe)
+            src = pa.array(starts[run_ids[idx]])
+            rows = batch.take(pa.array(idx))
+            cols = [rows.column("key")] + [rows.column(c) for c in carry] + [
+                batch.column("d").take(src)
+            ]
+            return pa.Table.from_arrays(cols, schema=out_schema_j)
+
+        return srt.map_batches(
+            join_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("a"), b.column("b")], names=["a", "b"]
+        )
+
+    j1 = attach_degree(
+        edges.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("a"), b.column("b")], names=["key_a", "other"]
+            ).rename_columns(["a", "other"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "a",
+        ["other"],
+        "da",
+    )
+    # j1: (key=a, other=b, da) → feed join2 keyed by b
+    j2 = attach_degree(
+        j1.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("other"), b.column("key"), b.column("da")],
+                names=["b", "other", "da"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "b",
+        ["other", "da"],
+        "db",
+    )
+    # j2: (key=b, other=a, da, db)
+
+    oriented_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def orient(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return oriented_schema.empty_table()
+        a = b.column("other").to_numpy(zero_copy_only=False)
+        bb = b.column("key").to_numpy(zero_copy_only=False)
+        da = b.column("da").to_numpy()
+        db = b.column("db").to_numpy()
+        a_first = (da < db) | ((da == db) & (a < bb))
+        src = np.where(a_first, a, bb)
+        dst = np.where(a_first, bb, a)
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(dst, pa.string())],
+            schema=oriented_schema,
+        )
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    # 6. wedge pairs per src run (orientation-bounded run lengths)
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        starts, ends = run_spans(batch, ["src"])
+        dsts = batch.column("dst").to_numpy(zero_copy_only=False)
+        us, ws = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            nb = np.sort(dsts[s:e])
+            iu, iw = np.triu_indices(e - s, 1)
+            us.append(nb[iu])
+            ws.append(nb[iw])
+        if not us:
+            return pair_schema.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(us), pa.string()),
+                pa.array(np.concatenate(ws), pa.string()),
+            ],
+            schema=pair_schema,
+        )
+
+    cands = oriented.sort("src").map_batches(
+        wedges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    # 7. closing-edge existence via one (a,b)-keyed run scan
+    chk_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("kind", pa.int8())]
+    )
+
+    def tag(kind: int):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.Table.from_arrays(
+                [
+                    pc.cast(b.column("a"), pa.string()),
+                    pc.cast(b.column("b"), pa.string()),
+                    pa.array(np.full(n, kind, dtype=np.int8)),
+                ],
+                schema=chk_schema,
+            )
+
+        return f
+
+    both = edges.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        cands.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    cnt_schema = pa.schema([("cnt", pa.int64())])
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cnt_schema.empty_table()
+        starts, _ = run_spans(batch, ["a", "b"])
+        kinds = batch.column("kind").to_numpy()
+        marks = np.zeros(batch.num_rows, dtype=np.int64)
+        marks[starts] = 1
+        run_ids = np.cumsum(marks) - 1
+        has_edge = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        n = int(((kinds == 1) & has_edge[run_ids]).sum())
+        return pa.Table.from_arrays([pa.array([n], pa.int64())], schema=cnt_schema)
+
+    partials = both.sort(["a", "b"]).map_batches(
+        count_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    total = int(partials.sum("cnt") or 0)
+    return ray.data.from_arrow(
+        pa.Table.from_arrays([pa.array([total], pa.int64())], schema=out_schema)
+    )

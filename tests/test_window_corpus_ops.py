@@ -962,3 +962,71 @@ class TestCuratedCorpusWithSplit:
             "train" if _md5_low64(str(i)) % 100 < 80 else "val" for i in got.doc_id
         ]
         assert got.split.tolist() == expected_split
+
+
+class TestTriangleCount:
+    def test_matches_brute_force(self, ray_session):
+        """Degree-oriented distributed triangle counting vs itertools
+        brute force, fed duplicate AND reversed edge rows so
+        canonicalization is exercised."""
+        import itertools
+
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import triangle_count
+
+        rng = np.random.RandomState(71)
+        for n, m in [(12, 30), (40, 200)]:
+            pairs = set()
+            while len(pairs) < m:
+                a, b = rng.randint(0, n, 2)
+                if a != b:
+                    pairs.add((f"n{min(a, b):03d}", f"n{max(a, b):03d}"))
+            nodes = sorted({x for p in pairs for x in p})
+            brute = sum(
+                1
+                for x, y, z in itertools.combinations(nodes, 3)
+                if (x, y) in pairs and (y, z) in pairs and (x, z) in pairs
+            )
+            rows_a, rows_b = [], []
+            for a, b in pairs:
+                rows_a += [b, a]  # reversed + duplicate
+                rows_b += [a, b]
+            ds = ray.data.from_arrow(
+                pa.Table.from_arrays(
+                    [pa.array(rows_a), pa.array(rows_b)], names=["a", "b"]
+                )
+            )
+            got = triangle_count(ds).take_all()[0]["n_triangles"]
+            assert got == brute > 0, (n, m)
+
+    def test_hub_star_has_no_triangles(self, ray_session):
+        """A pure star (the hub-skew shape degree orientation exists
+        for): zero triangles, and the wedge stage must not blow up."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import triangle_count
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pa.array(["hub"] * 200),
+                    pa.array([f"leaf{i:03d}" for i in range(200)]),
+                ],
+                names=["a", "b"],
+            )
+        )
+        assert triangle_count(ds).take_all()[0]["n_triangles"] == 0
+
+    def test_triangle_plus_dangling(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import triangle_count
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(["x", "y", "x", "x"]), pa.array(["y", "z", "z", "w"])],
+                names=["a", "b"],
+            )
+        )
+        assert triangle_count(ds).take_all()[0]["n_triangles"] == 1
