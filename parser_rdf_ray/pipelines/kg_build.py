@@ -765,9 +765,6 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     )
 
 
-TRIANGLES_SCHEMA = None  # set below (module imports pa lazily elsewhere)
-
-
 def triangle_count(edges_ds):
     """EXACT global triangle count over an undirected edge Dataset
     (columns a, b; any orientation, duplicates/self-loops tolerated) —
