@@ -765,6 +765,56 @@ def connected_components(adjacency_ds, max_iter: int = 50):
     )
 
 
+def _triangle_count_small(edges, out_schema):
+    """Single-task triangle count over a materialized distinct edge
+    Dataset: same degree-orientation algorithm as the distributed path,
+    vectorized per out-neighbor run, membership via one searchsorted
+    over int pair codes. Blocks travel plasma→task, never the driver."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    @ray.remote
+    def solve(*blocks):
+        import numpy as np
+        import pyarrow as pa
+
+        t = pa.concat_tables(list(blocks), promote_options="permissive")
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.Table.from_arrays([pa.array([0], pa.int64())], schema=out_schema)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        n = len(nodes)
+        ai, bi = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+        deg = np.bincount(np.concatenate([ai, bi]), minlength=n)
+        a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+        srci = np.where(a_first, ai, bi)
+        dsti = np.where(a_first, bi, ai)
+        order = np.argsort(srci, kind="stable")
+        s_s, d_s = srci[order], dsti[order]
+        starts = np.flatnonzero(np.diff(s_s, prepend=s_s[0] - 1))
+        ends = np.append(starts[1:], len(s_s))
+        lo, hi = np.minimum(ai, bi), np.maximum(ai, bi)
+        edge_codes = np.sort(lo * n + hi)
+        count = 0
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            nb = np.sort(d_s[st:en])
+            iu, iw = np.triu_indices(en - st, 1)
+            codes = nb[iu] * n + nb[iw]  # nb sorted → nb[iu] < nb[iw]
+            pos = np.searchsorted(edge_codes, codes)
+            in_range = pos < len(edge_codes)
+            hit = in_range & (
+                edge_codes[np.minimum(pos, len(edge_codes) - 1)] == codes
+            )
+            count += int(hit.sum())
+        return pa.Table.from_arrays([pa.array([count], pa.int64())], schema=out_schema)
+
+    return ray.data.from_arrow_refs([solve.remote(*_graph_block_refs(edges))])
+
+
 def triangle_count(edges_ds):
     """EXACT global triangle count over an undirected edge Dataset
     (columns a, b; any orientation, duplicates/self-loops tolerated) —
@@ -813,10 +863,21 @@ def triangle_count(edges_ds):
         edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
         ["a", "b"],
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.Table.from_arrays([pa.array([0], pa.int64())], schema=out_schema)
         )
+
+    from parser_rdf_ray.tuning import small_graph_max
+
+    if n_edges <= small_graph_max():
+        # size-adaptive single-task path (same rule as pagerank /
+        # components): ~7 exchange session floors dwarf compute below
+        # the threshold; the local algorithm is the identical
+        # orientation count (node-index order == sorted-string order,
+        # and the count is orientation-convention-independent anyway)
+        return _triangle_count_small(edges, out_schema)
 
     # 2. degrees via co-partitioned run lengths
     def explode(b: pa.Table) -> pa.Table:
@@ -844,7 +905,7 @@ def triangle_count(edges_ds):
         .sort("node")
         .map_batches(deg_block, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
-    )
+    ).materialize()  # consumed by BOTH degree joins — never recompute
 
     # 3+4. attach endpoint degrees via two tagged-union run-scan joins
     def attach_degree(rows_ds, key_col: str, carry: list[str], out_name: str):

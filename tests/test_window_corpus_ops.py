@@ -1030,3 +1030,30 @@ class TestTriangleCount:
             )
         )
         assert triangle_count(ds).take_all()[0]["n_triangles"] == 1
+
+
+class TestTriangleSmallGraphPath:
+    def test_paths_agree(self, ray_session, monkeypatch):
+        """Single-task and distributed triangle counts must be equal
+        (GRAFT_SMALL_GRAPH_MAX=0 forces the distributed path)."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import triangle_count
+
+        rng = np.random.RandomState(73)
+        pairs = set()
+        while len(pairs) < 250:
+            a, b = rng.randint(0, 45, 2)
+            if a != b:
+                pairs.add((f"n{min(a, b):03d}", f"n{max(a, b):03d}"))
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array([p[0] for p in pairs]),
+                pa.array([p[1] for p in pairs]),
+            ],
+            names=["a", "b"],
+        )
+        small = triangle_count(ray.data.from_arrow(tbl)).take_all()[0]["n_triangles"]
+        monkeypatch.setenv("GRAFT_SMALL_GRAPH_MAX", "0")
+        dist = triangle_count(ray.data.from_arrow(tbl)).take_all()[0]["n_triangles"]
+        assert small == dist > 0
