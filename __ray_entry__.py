@@ -722,6 +722,13 @@ def _q_media_decode_real(sf_dir: str):
     return media_decode_real(docs)
 
 
+def _q_rel_winsorize(sf_dir: str):
+    # per-group outlier clipping to exact [p05, p95] percentile_disc bounds
+    from parser_rdf_ray.pipelines.relational import winsorize_orders
+
+    return winsorize_orders(sf_dir, lo=0.05, hi=0.95)
+
+
 def _q_graph_triangles(sf_dir: str):
     # triangle count of the near-dup similarity graph (cluster cohesion):
     # minhash pairs → degree-oriented distributed triangle counting
@@ -889,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "media_decode_real": _q_media_decode_real,
         "graph_triangles": _q_graph_triangles,
+        "rel_winsorize": _q_rel_winsorize,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1497,6 +1505,29 @@ SELECT grp AS o_orderpriority,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) THEN cents END) / 100.0 AS p90,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN cents END) / 100.0 AS p99
 FROM r GROUP BY grp
+"""
+
+    # Same rank formula as rel_quantiles at (0.05, 0.95); the clip is
+    # pure int64 LEAST/GREATEST on cents, / 100.0 exact on both sides.
+    sql["rel_winsorize"] = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM c
+), bounds AS (
+  SELECT grp,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT)) THEN cents END) AS lo,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN cents END) AS hi
+  FROM r GROUP BY grp
+)
+SELECT o_orderkey, c.grp AS o_orderpriority, cents / 100.0 AS o_totalprice,
+       LEAST(GREATEST(cents, lo), hi) / 100.0 AS clipped
+FROM c JOIN bounds ON bounds.grp = c.grp
 """
 
     # Ranks compare integer cents on both sides; output balance is the

@@ -153,6 +153,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "sketch_distinct",
         "sketch_heavy_hitters",
         "graph_triangles",
+        "rel_winsorize",
     ]
     import gc
 

@@ -505,7 +505,8 @@ QUANTILES_SCHEMA = pa.schema(
 )
 
 
-def group_quantiles(sf_dir: str, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)):
+def group_quantiles(sf_dir: str, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    names: tuple[str, ...] | None = None):
     """EXACT per-group quantiles (percentile_disc semantics: the element
     at 1-based rank ceil(q·n) of the sorted group) of o_totalprice per
     o_orderpriority — the distributed window/rank primitive Ray Data has
@@ -616,9 +617,14 @@ def group_quantiles(sf_dir: str, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
         cols.append(
             pa.array([values[g][qi] / 100.0 for g in groups], pa.float64())
         )
-    return ray.data.from_arrow(
-        pa.Table.from_arrays(cols, schema=QUANTILES_SCHEMA)
-    )
+    if names is None:
+        schema = QUANTILES_SCHEMA
+    else:
+        schema = pa.schema(
+            [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]
+            + [(n, pa.float64()) for n in names]
+        )
+    return ray.data.from_arrow(pa.Table.from_arrays(cols, schema=schema))
 
 
 DENSE_RANK_SCHEMA = pa.schema(
@@ -1090,3 +1096,68 @@ def moving_window_sum(sf_dir: str, frame: int = 3):
     return grouped_run_map(
         ds, ["user_id"], per_user, schema=MOVING_WINDOW_SCHEMA, min_run=1
     )
+
+
+WINSORIZE_SCHEMA = pa.schema(
+    [
+        ("o_orderkey", pa.int64()),
+        ("o_orderpriority", pa.string()),
+        ("o_totalprice", pa.float64()),
+        ("clipped", pa.float64()),
+    ]
+)
+
+
+def winsorize_orders(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Per-group winsorization (outlier clipping to the group's [lo, hi]
+    percentile_disc bounds) — the feature-cleaning transform, composed
+    from the exact group-quantile machinery: bounds come from
+    group_quantiles (ONE sort + metadata-sized driver rank location),
+    the tiny group→bounds table ships as a closure (groups are
+    enum-scale), and the clip pass is one vectorized searchsorted +
+    clip per batch over int64 cents — no second exchange, no floats
+    until the exact final /100."""
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.collect import bounded_take_all
+
+    bounds_ds = group_quantiles(sf_dir, quantiles=(lo, hi), names=("lo", "hi"))
+    rows = bounded_take_all(
+        bounds_ds, what="winsorize group bounds", ceiling=100_000
+    )
+    groups = np.array(sorted(r["o_orderpriority"] for r in rows), dtype=object)
+    by = {r["o_orderpriority"]: r for r in rows}
+    lo_c = np.array(
+        [round(by[g]["lo"] * 100) for g in groups], dtype=np.int64
+    )
+    hi_c = np.array(
+        [round(by[g]["hi"] * 100) for g in groups], dtype=np.int64
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def clip(batch: pa.Table) -> pa.Table:
+        grp = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(
+                pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64(),
+            ).to_numpy()
+        )
+        gi = np.searchsorted(groups, grp)
+        clipped = np.minimum(np.maximum(cents, lo_c[gi]), hi_c[gi])
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("o_orderkey"), pa.int64()),
+                pc.cast(batch.column("o_orderpriority"), pa.string()),
+                pa.array(cents / 100.0, pa.float64()),
+                pa.array(clipped / 100.0, pa.float64()),
+            ],
+            schema=WINSORIZE_SCHEMA,
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)

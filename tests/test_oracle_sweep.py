@@ -105,3 +105,27 @@ def test_oracle_sweep(name, sf_dir, ray_session, oracle_con):
             gl = [None if v is None or v is pd.NA else v for v in g.tolist()]
             el = [None if v is None or v is pd.NA else v for v in e.tolist()]
             assert gl == el, f"{name}@{sf_dir}: column {c} differs"
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("name", ["kg_pagerank", "kg_components", "graph_triangles"])
+def test_distributed_path_oracle(name, ray_session, oracle_con, monkeypatch):
+    """The graph ops' DISTRIBUTED path (normally bypassed at sandbox
+    scale by the size-adaptive single-task branch) against the same SQL
+    oracle at sf0.01 — full-scale oracle coverage for the loop/join
+    machinery, not just unit-scale path-equivalence pins."""
+    monkeypatch.setenv("GRAFT_SMALL_GRAPH_MAX", "0")
+    sf_dir = "/root/testdata/sf0.01"
+    if sf_dir not in SF_DIRS:
+        pytest.skip("sf0.01 testdata absent")
+    sql = entrymod.oracle_sql()[name]
+    got = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
+    exp = _canon(oracle_con[sf_dir].execute(sql).df())
+    assert len(got) == len(exp)
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f":
+            assert (g.to_numpy(dtype=float) == e.to_numpy(dtype=float)).all(), c
+        else:
+            assert g.tolist() == e.tolist(), c

@@ -1057,3 +1057,43 @@ class TestTriangleSmallGraphPath:
         monkeypatch.setenv("GRAFT_SMALL_GRAPH_MAX", "0")
         dist = triangle_count(ray.data.from_arrow(tbl)).take_all()[0]["n_triangles"]
         assert small == dist > 0
+
+
+class TestWinsorize:
+    def test_matches_numpy_clip(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import winsorize_orders
+
+        rng = np.random.RandomState(79)
+        n = 800
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_orderpriority": rng.choice(["A", "B", "C"], n),
+                "o_totalprice": np.round(rng.lognormal(4, 1, n) * 100) / 100,
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "orders.parquet")
+        got = (
+            winsorize_orders(str(sf), lo=0.1, hi=0.9)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        cents = np.round(df.o_totalprice.values * 100).astype(np.int64)
+        expected = []
+        for grp in ["A", "B", "C"]:
+            vals = np.sort(cents[df.o_orderpriority.values == grp])
+            nn = len(vals)
+            lo = vals[max(1, math.ceil(0.1 * nn)) - 1]
+            hi = vals[max(1, math.ceil(0.9 * nn)) - 1]
+            expected.append((grp, lo, hi))
+        bounds = {g: (lo, hi) for g, lo, hi in expected}
+        exp_clip = [
+            min(max(c, bounds[g][0]), bounds[g][1]) / 100.0
+            for c, g in zip(cents, df.o_orderpriority)
+        ]
+        assert got.clipped.tolist() == exp_clip
+        assert (got.clipped != got.o_totalprice).any()  # clipping really fired
+        assert len(got) == n
