@@ -722,6 +722,14 @@ def _q_media_decode_real(sf_dir: str):
     return media_decode_real(docs)
 
 
+def _q_rel_bloom_join(sf_dir: str):
+    # bloom semi-join reduction: probe rows pruned BEFORE the shuffle;
+    # result is unconditionally identical to the plain join
+    from parser_rdf_ray.pipelines.relational import orders_customer_bloom_join
+
+    return orders_customer_bloom_join(sf_dir)
+
+
 def _q_rel_winsorize(sf_dir: str):
     # per-group outlier clipping to exact [p05, p95] percentile_disc bounds
     from parser_rdf_ray.pipelines.relational import winsorize_orders
@@ -897,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": _q_media_decode_real,
         "graph_triangles": _q_graph_triangles,
         "rel_winsorize": _q_rel_winsorize,
+        "rel_bloom_join": _q_rel_bloom_join,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1505,6 +1514,15 @@ SELECT grp AS o_orderpriority,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) THEN cents END) / 100.0 AS p90,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN cents END) / 100.0 AS p99
 FROM r GROUP BY grp
+"""
+
+    # Bloom pruning cannot change the result (no false negatives; the
+    # join drops false positives) — the oracle IS the plain join.
+    sql["rel_bloom_join"] = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
     # Same rank formula as rel_quantiles at (0.05, 0.95); the clip is

@@ -154,6 +154,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "sketch_heavy_hitters",
         "graph_triangles",
         "rel_winsorize",
+        "rel_bloom_join",
     ]
     import gc
 

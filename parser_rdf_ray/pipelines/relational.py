@@ -1161,3 +1161,168 @@ def winsorize_orders(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
         )
 
     return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def orders_customer_bloom_join(sf_dir: str, m_bits: int = 1 << 17, k: int = 4):
+    """Sort-merge join with a BLOOM-FILTER SEMI-JOIN REDUCTION: a bloom
+    filter over the build side's keys (built in ONE task, ~16 KiB for
+    m=2^17) is broadcast via plasma, and probe batches drop non-member
+    keys BEFORE the all-to-all — the classic shuffle-pruning move when
+    the probe side is much larger than its matching subset.
+
+    Correctness is UNCONDITIONAL on the filter: blooms have no false
+    negatives (no matching row is ever dropped) and the join itself
+    drops false positives, so the result is bit-identical to the plain
+    sort-merge join at ANY false-positive rate — the oracle is simply
+    the JOIN. Hashes are the engine's md5-low64 contract, k derived
+    slices of one digest per key."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.pipelines.dedup import _md5_low64
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+
+    def key_hashes(keys) -> np.ndarray:
+        """(n, k) bit positions: k slices of one md5-low64 per key."""
+        h = np.fromiter(
+            (_md5_low64(str(int(x))) for x in keys),
+            dtype=np.uint64,
+            count=len(keys),
+        )
+        # k independent-ish positions from one 64-bit digest: h rotated
+        # by 16*i bits, mod m (m a power of two)
+        pos = np.empty((len(h), k), dtype=np.int64)
+        for i in range(k):
+            if i == 0:
+                rot = h  # shift-by-64 is undefined for uint64
+            else:
+                rot = (h >> np.uint64(16 * i)) | (h << np.uint64(64 - 16 * i))
+            pos[:, i] = (rot % np.uint64(m_bits)).astype(np.int64)
+        return pos
+
+    @ray.remote
+    def build_filter() -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        keys = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        ).column("c_custkey").to_numpy()
+        bits = np.zeros(m_bits, dtype=bool)
+        bits[key_hashes(keys).ravel()] = True
+        return bits
+
+    bits_ref = build_filter.remote()
+
+    class BloomPrune:
+        """Lazy plasma deref (the BruteForceScorer pattern): the bit
+        array is mmap-zero-copy per task; membership is k vectorized
+        gathers per batch."""
+
+        def __init__(self):
+            self.bits = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.bits is None:
+                import ray as _ray
+
+                self.bits = _ray.get(bits_ref)
+            keys = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+            if len(keys) == 0:
+                return batch
+            member = self.bits[key_hashes(keys)].all(axis=1)
+            return batch.filter(pa.array(member))
+
+    pruned_orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(BloomPrune(), batch_format="pyarrow")
+
+    # the pruned probe side feeds the same tagged-union merge join —
+    # reuse orders_customer_merge_join's machinery by inlining its tag +
+    # join (the probe source differs, everything else is identical)
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("kind", pa.int8()),
+            ("o_orderkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )
+
+    def tag_customer(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("c_custkey"), pa.int64()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pc.cast(b.column("c_name"), pa.string()),
+                pc.cast(b.column("c_mktsegment"), pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("o_custkey"), pa.int64()),
+                pa.array(np.ones(n, dtype=np.int8)),
+                pc.cast(b.column("o_orderkey"), pa.int64()),
+                cents,
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+            ],
+            schema=union_schema,
+        )
+
+    from parser_rdf_ray.stages.groups import run_spans
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).map_batches(tag_customer, batch_format="pyarrow", zero_copy_batch=True)
+    srt = cust.union(
+        pruned_orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort("key")
+
+    def join_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return MERGE_JOIN_SCHEMA.empty_table()
+        batch = batch.sort_by([("key", "ascending"), ("kind", "ascending")])
+        starts, _ = run_spans(batch, ["key"])
+        kinds = batch.column("kind").to_numpy()
+        marks = np.zeros(batch.num_rows, dtype=np.int64)
+        marks[starts] = 1
+        run_ids = np.cumsum(marks) - 1
+        has_build = kinds[starts] == 0
+        probe = (kinds == 1) & has_build[run_ids]
+        if not probe.any():
+            return MERGE_JOIN_SCHEMA.empty_table()
+        idx = np.flatnonzero(probe)
+        src = pa.array(starts[run_ids[idx]])
+        rows = batch.take(pa.array(idx))
+        return pa.Table.from_arrays(
+            [
+                rows.column("o_orderkey"),
+                rows.column("key"),
+                pc.divide(pc.cast(rows.column("cents"), pa.float64()), pa.scalar(100.0)),
+                batch.column("c_name").take(src),
+                batch.column("c_mktsegment").take(src),
+            ],
+            schema=MERGE_JOIN_SCHEMA,
+        )
+
+    return srt.map_batches(
+        join_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -1097,3 +1097,50 @@ class TestWinsorize:
         assert got.clipped.tolist() == exp_clip
         assert (got.clipped != got.o_totalprice).any()  # clipping really fired
         assert len(got) == n
+
+
+class TestBloomJoin:
+    def test_prunes_dangling_but_result_equals_plain_join(self, ray_session, tmp_path):
+        """The bloom reduction must actually drop (most) dangling probe
+        rows before the shuffle, yet produce exactly the plain join."""
+        from parser_rdf_ray.pipelines.relational import (
+            orders_customer_bloom_join,
+            orders_customer_merge_join,
+        )
+
+        rng = np.random.RandomState(83)
+        cust = pd.DataFrame(
+            {
+                "c_custkey": np.arange(50, dtype=np.int64),
+                "c_name": [f"C#{i}" for i in range(50)],
+                "c_mktsegment": [f"S{i % 3}" for i in range(50)],
+            }
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(3000, dtype=np.int64),
+                # 95% dangling keys — the regime bloom pruning exists for
+                "o_custkey": rng.randint(0, 1000, 3000).astype(np.int64),
+                "o_totalprice": np.round(rng.uniform(1, 100, 3000) * 100) / 100,
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(cust, preserve_index=False), sf / "customer.parquet")
+        pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), sf / "orders.parquet")
+
+        got = (
+            orders_customer_bloom_join(str(sf))
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        plain = (
+            orders_customer_merge_join(str(sf))
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        assert got.equals(plain)
+        # matching subset is small; the join result reflects that
+        assert len(got) == orders.o_custkey.isin(cust.c_custkey).sum()
