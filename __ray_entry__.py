@@ -722,6 +722,18 @@ def _q_media_decode_real(sf_dir: str):
     return media_decode_real(docs)
 
 
+def _q_corpus_per_lang_sample(sf_dir: str):
+    # balanced subset: 5 hash-smallest docs per language (bottom-k sketch)
+    import ray.data
+
+    from parser_rdf_ray.pipelines.curation import per_group_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return per_group_sample(docs, k=5)
+
+
 def _q_rel_bloom_join(sf_dir: str):
     # bloom semi-join reduction: probe rows pruned BEFORE the shuffle;
     # result is unconditionally identical to the plain join
@@ -906,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _q_graph_triangles,
         "rel_winsorize": _q_rel_winsorize,
         "rel_bloom_join": _q_rel_bloom_join,
+        "corpus_per_lang_sample": _q_corpus_per_lang_sample,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1514,6 +1527,16 @@ SELECT grp AS o_orderpriority,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) THEN cents END) / 100.0 AS p90,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN cents END) / 100.0 AS p99
 FROM r GROUP BY grp
+"""
+
+    # Same md5-low64 ranking (mod 2^63 keeps it int64-signed-safe on
+    # both sides), ties by doc_id — identical bottom-k per language.
+    sql["corpus_per_lang_sample"] = """
+SELECT doc_id, lang,
+       CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 9223372036854775808 AS BIGINT)
+         AS rank_hash
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) <= 5
 """
 
     # Bloom pruning cannot change the result (no false negatives; the

@@ -276,3 +276,39 @@ def curated_corpus_with_split(
     return srt.map_batches(
         join_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+PER_GROUP_SAMPLE_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("lang", pa.string()), ("rank_hash", pa.int64())]
+)
+
+
+def per_group_sample(documents_ds, k: int = 5):
+    """Deterministic balanced subset: the k documents per language with
+    the smallest md5-low64(doc_id) — per-group sampling without
+    replacement as a hash-ranked grouped top-k (stages/groups.grouped_topk:
+    per-batch combiner bounds the shuffle to k×blocks rows per group).
+    Like hash_split, membership is a pure function of doc_id, so the
+    sample is stable under corpus growth EXCEPT at the k-boundary (a new
+    doc with a smaller hash displaces exactly one member — the standard
+    bottom-k sketch property). rank_hash is emitted int64 (md5-low64
+    mod 2^63, sign-safe) so the SQL oracle ranks identically."""
+    from parser_rdf_ray.stages.groups import grouped_topk
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        hashes = pa.array(
+            [_md5_low64(str(i)) % (1 << 63) for i in ids.to_pylist()],
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [ids, pc.cast(batch.column("lang"), pa.string()), hashes],
+            schema=PER_GROUP_SAMPLE_SCHEMA,
+        )
+
+    projected = documents_ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_topk(
+        projected, ["lang"], "rank_hash", k, descending=False, tie_cols=["doc_id"]
+    )

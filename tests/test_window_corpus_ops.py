@@ -1144,3 +1144,56 @@ class TestBloomJoin:
         assert got.equals(plain)
         # matching subset is small; the join result reflects that
         assert len(got) == orders.o_custkey.isin(cust.c_custkey).sum()
+
+
+class TestPerGroupSample:
+    def test_bottom_k_by_hash_per_group(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import per_group_sample
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "lang": [["en", "de", "zh"][i % 3] for i in range(300)],
+            }
+        )
+        got = (
+            per_group_sample(ray.data.from_pandas(df), k=4)
+            .to_pandas()
+            .sort_values(["lang", "rank_hash"])
+            .reset_index(drop=True)
+        )
+        for lang in ["en", "de", "zh"]:
+            ids = df.doc_id[df.lang == lang]
+            expect = sorted(ids, key=lambda i: (_md5_low64(str(i)) % (1 << 63), i))[:4]
+            assert got[got.lang == lang].doc_id.tolist() == sorted(
+                expect, key=lambda i: _md5_low64(str(i)) % (1 << 63)
+            )
+        assert len(got) == 12
+
+    def test_stable_under_growth_except_displacement(self, ray_session):
+        """Bottom-k property: doubling the corpus can only DISPLACE
+        members (new smaller hashes), never reshuffle survivors."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import per_group_sample
+
+        def docs(n):
+            return pd.DataFrame(
+                {"doc_id": np.arange(n, dtype=np.int64), "lang": ["en"] * n}
+            )
+
+        small = set(
+            per_group_sample(ray.data.from_pandas(docs(100)), k=5)
+            .to_pandas()
+            .doc_id
+        )
+        big = set(
+            per_group_sample(ray.data.from_pandas(docs(200)), k=5)
+            .to_pandas()
+            .doc_id
+        )
+        # survivors of the bigger run that existed before are a subset
+        # of the original sample
+        assert (big & set(range(100))) <= small
