@@ -722,6 +722,13 @@ def _q_media_decode_real(sf_dir: str):
     return media_decode_real(docs)
 
 
+def _q_rel_covar(sf_dir: str):
+    # exact-integer population covariance per returnflag (second moments)
+    from parser_rdf_ray.pipelines.relational import lineitem_covar
+
+    return lineitem_covar(sf_dir)
+
+
 def _q_corpus_per_lang_sample(sf_dir: str):
     # balanced subset: 5 hash-smallest docs per language (bottom-k sketch)
     import ray.data
@@ -919,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_winsorize": _q_rel_winsorize,
         "rel_bloom_join": _q_rel_bloom_join,
         "corpus_per_lang_sample": _q_corpus_per_lang_sample,
+        "rel_covar": _q_rel_covar,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1527,6 +1535,27 @@ SELECT grp AS o_orderpriority,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) THEN cents END) / 100.0 AS p90,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN cents END) / 100.0 AS p99
 FROM r GROUP BY grp
+"""
+
+    # Second moments in exact integer units: HUGEINT numerator, floor at
+    # 1e-6 dollar·qty units via sign decomposition (DuckDB // truncates).
+    sql["rel_covar"] = """
+WITH u AS (
+  SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy
+  FROM u GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN (n * sxy - sx * sy) >= 0
+                 THEN ((n * sxy - sx * sy) * 1000000) // (n * n * 100)
+                 ELSE -(((-(n * sxy - sx * sy)) * 1000000 + n * n * 100 - 1)
+                        // (n * n * 100))
+            END AS DOUBLE) / 1000000 AS covar_qty_price
+FROM s
 """
 
     # Same md5-low64 ranking (mod 2^63 keeps it int64-signed-safe on

@@ -155,6 +155,8 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "graph_triangles",
         "rel_winsorize",
         "rel_bloom_join",
+        "rel_covar",
+        "corpus_per_lang_sample",
     ]
     import gc
 

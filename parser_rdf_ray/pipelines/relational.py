@@ -1326,3 +1326,110 @@ def orders_customer_bloom_join(sf_dir: str, m_bits: int = 1 << 17, k: int = 4):
     return srt.map_batches(
         join_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+COVAR_SCHEMA = pa.schema(
+    [
+        ("l_returnflag", pa.string()),
+        ("n", pa.int64()),
+        ("covar_qty_price", pa.float64()),
+    ]
+)
+
+
+def lineitem_covar(sf_dir: str, round_to: int = 6):
+    """Population covariance of (quantity, extendedprice) per returnflag —
+    the SECOND-MOMENT aggregate family, in EXACT integer arithmetic so
+    the distributed combine order cannot move a digit:
+
+        covar_pop = (n·Σxy − Σx·Σy) / n²   with x = qty (integral),
+                    y = price cents (fixed-point)
+
+    Per-block partials (n, Σx, Σy, Σxy) are int64 (Σxy ≤ rows·50·10⁷ ≪
+    2⁶³); the per-group final combine runs in PYTHON ints (map_groups —
+    group count is the 3-value returnflag enum), where n·Σxy − Σx·Σy may
+    exceed int64 exactly as HUGEINT does in the oracle. The quotient is
+    floored at 10^-round_to dollar·qty units in INTEGERS, so the float
+    output is exact on both sides."""
+    import numpy as np
+    import ray.data
+
+    scale = 10 ** round_to
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxy", pa.int64()),
+        ]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.Table.from_arrays(
+            [
+                batch.column("l_returnflag"),
+                qty,
+                cents,
+                pc.multiply(qty, cents),
+            ],
+            names=["l_returnflag", "x", "y", "xy"],
+        )
+        agg = (
+            pl.from_arrow(t)
+            .group_by("l_returnflag")
+            .agg(
+                pl.len().alias("n"),
+                pl.col("x").sum().alias("sx"),
+                pl.col("y").sum().alias("sy"),
+                pl.col("xy").sum().alias("sxy"),
+            )
+        )
+        out = agg.to_arrow()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(out.column("l_returnflag").combine_chunks(), pa.string()),
+                pc.cast(out.column("n").combine_chunks(), pa.int64()),
+                pc.cast(out.column("sx").combine_chunks(), pa.int64()),
+                pc.cast(out.column("sy").combine_chunks(), pa.int64()),
+                pc.cast(out.column("sxy").combine_chunks(), pa.int64()),
+            ],
+            schema=partial_schema,
+        )
+
+    part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(group: pa.Table) -> pa.Table:
+        flag = group.column("l_returnflag")[0].as_py()
+        n = int(np.sum(group.column("n").to_numpy()))
+        sx = int(np.sum(group.column("sx").to_numpy()))
+        sy = int(np.sum(group.column("sy").to_numpy()))
+        sxy = int(np.sum(group.column("sxy").to_numpy()))
+        # exact big-int numerator in (qty · cent) units; floor at
+        # 10^-round_to dollar·qty units: // is Python floor, matched by
+        # the oracle's sign-decomposed HUGEINT floor
+        num = n * sxy - sx * sy
+        units = (num * scale) // (n * n * 100)
+        return pa.Table.from_arrays(
+            [
+                pa.array([flag], pa.string()),
+                pa.array([n], pa.int64()),
+                pa.array([units / scale], pa.float64()),
+            ],
+            schema=COVAR_SCHEMA,
+        )
+
+    return part.groupby("l_returnflag").map_groups(combine, batch_format="pyarrow")

@@ -1197,3 +1197,42 @@ class TestPerGroupSample:
         # survivors of the bigger run that existed before are a subset
         # of the original sample
         assert (big & set(range(100))) <= small
+
+
+class TestCovar:
+    def test_matches_numpy_cov_and_is_decomposition_invariant(self, ray_session, tmp_path):
+        from parser_rdf_ray.pipelines.relational import lineitem_covar
+
+        rng = np.random.RandomState(89)
+        n = 2000
+        qty = rng.randint(1, 51, n).astype(np.int64)
+        # price correlated with qty plus noise, exact cents
+        price = np.round((qty * 101.37 + rng.uniform(-500, 500, n)) * 100) / 100
+        df = pd.DataFrame(
+            {
+                "l_returnflag": rng.choice(["A", "N", "R"], n),
+                "l_quantity": qty.astype(float),
+                "l_extendedprice": price,
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "lineitem.parquet")
+
+        got = (
+            lineitem_covar(str(sf))
+            .to_pandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            sub = df[df.l_returnflag == row["l_returnflag"]]
+            x = np.round(sub.l_quantity.values).astype(np.int64)
+            y = np.round(sub.l_extendedprice.values * 100).astype(np.int64)
+            nn = len(x)
+            num = int(nn) * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+            expected = ((num * 10**6) // (nn * nn * 100)) / 10**6
+            assert row["covar_qty_price"] == expected
+            assert row["n"] == nn
+            # sanity: strongly positive covariance by construction
+            assert row["covar_qty_price"] > 0
