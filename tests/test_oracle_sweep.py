@@ -89,6 +89,11 @@ def test_oracle_sweep(name, sf_dir, ray_session, oracle_con):
         pytest.skip(f"{name}: no oracle (rows-only driver check)")
     got = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
     exp = _canon(oracle_con[sf_dir].execute(sql).df())
+    # a vacuous (empty-at-this-scale) query passes value comparison
+    # trivially AND breaks the driver's schema check (an empty Ray result
+    # round-trips to a column-less frame) — rel_anti_join hit this before
+    # its priority restriction; fail loudly instead
+    assert len(exp) > 0, f"{name}@{sf_dir}: oracle result is EMPTY (vacuous query)"
     assert len(got) == len(exp), f"{name}@{sf_dir}: rows {len(got)} != {len(exp)}"
     assert list(got.columns) == list(exp.columns), (
         f"{name}@{sf_dir}: columns {list(got.columns)} != {list(exp.columns)}"
