@@ -722,6 +722,13 @@ def _q_media_decode_real(sf_dir: str):
     return media_decode_real(docs)
 
 
+def _q_rel_ntile(sf_dir: str):
+    # NTILE(4) balance quartiles per nation (the tiling window)
+    from parser_rdf_ray.pipelines.relational import ntile_customers
+
+    return ntile_customers(sf_dir, k=4)
+
+
 def _q_rel_covar(sf_dir: str):
     # exact-integer population covariance per returnflag (second moments)
     from parser_rdf_ray.pipelines.relational import lineitem_covar
@@ -927,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bloom_join": _q_rel_bloom_join,
         "corpus_per_lang_sample": _q_corpus_per_lang_sample,
         "rel_covar": _q_rel_covar,
+        "rel_ntile": _q_rel_ntile,
         "corpus_stratified": _q_corpus_stratified,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
@@ -1535,6 +1543,20 @@ SELECT grp AS o_orderpriority,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) THEN cents END) / 100.0 AS p90,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN cents END) / 100.0 AS p99
 FROM r GROUP BY grp
+"""
+
+    # The ORDER BY (cents desc, custkey) is a unique total order, so
+    # NTILE's row assignment is fully deterministic on both sides.
+    sql["rel_ntile"] = """
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT c_custkey, c_nationkey, cents / 100.0 AS c_acctbal,
+       CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY cents DESC, c_custkey) AS BIGINT) AS tile
+FROM c
 """
 
     # Second moments in exact integer units: HUGEINT numerator, floor at

@@ -156,6 +156,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "rel_winsorize",
         "rel_bloom_join",
         "rel_covar",
+        "rel_ntile",
         "corpus_per_lang_sample",
     ]
     import gc

@@ -1433,3 +1433,119 @@ def lineitem_covar(sf_dir: str, round_to: int = 6):
         )
 
     return part.groupby("l_returnflag").map_groups(combine, batch_format="pyarrow")
+
+
+NTILE_SCHEMA = pa.schema(
+    [
+        ("c_custkey", pa.int64()),
+        ("c_nationkey", pa.int64()),
+        ("c_acctbal", pa.float64()),
+        ("tile", pa.int64()),
+    ]
+)
+
+
+def ntile_customers(sf_dir: str, k: int = 4):
+    """NTILE(k) OVER (PARTITION BY nation ORDER BY balance DESC,
+    custkey) — the tiling window, as the dense-rank two-pass plan with
+    ROW counts instead of distinct counts: ONE sort on the UNIQUE total
+    order (nation, cents desc, custkey) range-partitions the table;
+    per-block per-nation row counts (metadata-sized) prefix-sum on the
+    driver into each block's starting row offset; a second pass assigns
+    tiles from the global 0-based row index with SQL NTILE's exact
+    fill rule (the first n mod k tiles take one extra row)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("c_acctbal"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("c_custkey"), pa.int64()),
+                pc.cast(batch.column("c_nationkey"), pa.int64()),
+                cents,
+            ],
+            names=["c_custkey", "nation", "cents"],
+        )
+
+    srt = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["nation", "cents", "c_custkey"], descending=[False, True, False])
+        .materialize()
+    )
+    refs = [
+        br for bundle in srt.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+    @ray.remote
+    def nation_counts(block: pa.Table):
+        import polars as pl
+
+        if block.num_rows == 0:
+            return []
+        agg = pl.from_arrow(block).group_by("nation").len().sort("nation")
+        return list(zip(agg["nation"].to_list(), agg["len"].to_list()))
+
+    per_block = ray.get([nation_counts.remote(r) for r in refs])
+    offsets: list[dict[int, int]] = []
+    running: dict[int, int] = {}
+    for counts in per_block:
+        offsets.append(dict(running))
+        for nat, c in counts:
+            running[nat] = running.get(nat, 0) + c
+    totals = dict(running)
+
+    @ray.remote
+    def tile_block(block: pa.Table, offset: dict[int, int], totals: dict[int, int]):
+        import numpy as np
+
+        if block.num_rows == 0:
+            return NTILE_SCHEMA.empty_table()
+        nation = block.column("nation").to_numpy()
+        n_rows = block.num_rows
+        new_nat = np.ones(n_rows, dtype=bool)
+        new_nat[1:] = nation[1:] != nation[:-1]
+        nat_starts = np.flatnonzero(new_nat)
+        run_lengths = np.diff(np.append(nat_starts, n_rows))
+        local = np.arange(n_rows) - np.repeat(nat_starts, run_lengths)
+        glob = local + np.repeat(
+            np.array([offset.get(int(x), 0) for x in nation[nat_starts]], dtype=np.int64),
+            run_lengths,
+        )
+        n_of = np.repeat(
+            np.array([totals[int(x)] for x in nation[nat_starts]], dtype=np.int64),
+            run_lengths,
+        )
+        # SQL NTILE fill rule: first (n mod k) tiles take ceil(n/k) rows
+        big = n_of % k
+        size_small = n_of // k
+        size_big = size_small + 1
+        cut = big * size_big  # rows covered by the big tiles
+        tile = np.where(
+            glob < cut,
+            glob // np.maximum(size_big, 1),
+            big + (glob - cut) // np.maximum(size_small, 1),
+        ) + 1
+        return pa.Table.from_arrays(
+            [
+                block.column("c_custkey"),
+                pa.array(nation, pa.int64()),
+                pa.array(block.column("cents").to_numpy() / 100.0, pa.float64()),
+                pa.array(tile.astype(np.int64)),
+            ],
+            schema=NTILE_SCHEMA,
+        )
+
+    out_refs = [tile_block.remote(r, offsets[i], totals) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -1236,3 +1236,47 @@ class TestCovar:
             assert row["n"] == nn
             # sanity: strongly positive covariance by construction
             assert row["covar_qty_price"] > 0
+
+
+class TestNtile:
+    def test_matches_pandas_qcut_rule(self, ray_session, tmp_path):
+        """NTILE(k) vs a direct implementation of SQL's fill rule (first
+        n mod k tiles take one extra row) over the unique total order,
+        with enough rows to span blocks."""
+        from parser_rdf_ray.pipelines.relational import ntile_customers
+
+        rng = np.random.RandomState(97)
+        n = 2500
+        df = pd.DataFrame(
+            {
+                "c_custkey": np.arange(n, dtype=np.int64),
+                "c_nationkey": rng.randint(0, 6, n).astype(np.int32),
+                "c_acctbal": rng.choice([5.0, 10.0, 10.0, 99.99], n),  # ties
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / "customer.parquet")
+        k = 4
+        got = (
+            ntile_customers(str(sf), k=k)
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        cents = np.round(df.c_acctbal.values * 100).astype(np.int64)
+        expected = np.empty(n, dtype=np.int64)
+        for nat in range(6):
+            idx = np.flatnonzero(df.c_nationkey.values == nat)
+            order = idx[np.lexsort((df.c_custkey.values[idx], -cents[idx]))]
+            nn = len(order)
+            big, small = nn % k, nn // k
+            tiles = []
+            for t in range(k):
+                tiles += [t + 1] * (small + (1 if t < big else 0))
+            expected[order] = tiles
+        assert got.tile.tolist() == expected.tolist()
+        # every nation's tile sizes differ by at most 1
+        for nat in range(6):
+            sizes = got[got.c_nationkey == nat].tile.value_counts()
+            assert sizes.max() - sizes.min() <= 1
