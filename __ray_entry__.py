@@ -873,57 +873,18 @@ def _q_text_redact(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
+    # entries (dict order).  Layout:
+    #   1-17  the round-3 wave that had no driver row in CORRECTNESS_r03
+    #         (they passed the identical local dual-scale sweep only);
+    #   18-50 one-or-more representatives of every operator family, all
+    #         driver-green in r03;
+    #   51-67 cousins of in-gate entries, every one driver-green in r03
+    #         (e.g. kg_paths2~kg_degree, rel_semi_join~rel_anti_join,
+    #         media_resize/frames~media_features).  All 67 stay in the
+    #         repo's own sf0.001+sf0.01 oracle sweep (pytest -m oracle).
     return {
-        "kg_triples": _q_kg_triples,
-        "kg_adjacency": _q_kg_adjacency,
-        "kg_links": _q_kg_links,
-        "kg_resolved": _q_kg_resolved,
-        "kg_incremental": _q_kg_incremental,
-        "kg_degree": _q_kg_degree,
-        "kg_paths2": _q_kg_paths2,
-        "kg_pagerank": _q_kg_pagerank,
-        "kg_components": _q_kg_components,
-        "kg_graphs": _q_kg_graphs,
-        "kg_errors": _q_kg_errors,
-        "kg_classes": _q_kg_classes,
-        "kg_properties": _q_kg_properties,
-        "kg_shapes": _q_kg_shapes,
-        "kg_prefixes": _q_kg_prefixes,
-        "kg_entities": _q_kg_entities,
-        "kg_formats": _q_kg_formats,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "text_tokens": _q_text_tokens,
-        "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_bpe": _q_text_bpe,
-        "text_top_ngrams": _q_text_top_ngrams,
-        "corpus_split": _q_corpus_split,
-        "corpus_curation": _q_corpus_curation,
-        "knn_cosine": _q_knn_cosine,
-        "knn_ivf": _q_knn_ivf,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_centroids": _q_embedding_centroids,
-        "media_features": _q_media_features,
-        "media_resize": _q_media_resize,
-        "media_frames": _q_media_frames,
-        "rel_lineitem_agg": _q_rel_lineitem_agg,
-        "rel_join_topk": _q_rel_join_topk,
-        "rel_topk_per_group": _q_rel_topk_per_group,
-        "rel_asof_join": _q_rel_asof_join,
-        "rel_range_join": _q_rel_range_join,
-        "rel_events_window": _q_rel_events_window,
-        "rel_sessions": _q_rel_sessions,
-        "rel_quantiles": _q_rel_quantiles,
-        "rel_dense_rank": _q_rel_dense_rank,
-        "rel_event_gaps": _q_rel_event_gaps,
-        "rel_merge_join": _q_rel_merge_join,
-        "rel_left_join": _q_rel_left_join,
-        "rel_semi_join": _q_rel_semi_join,
+        # --- never driver-checked before round 4 ---
         "rel_anti_join": _q_rel_anti_join,
         "rel_moving_window": _q_rel_moving_window,
         "sketch_distinct": _q_sketch_distinct,
@@ -941,6 +902,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": _q_text_redact,
         "text_tfidf": _q_text_tfidf,
         "embedding_kmeans": _q_embedding_kmeans,
+        # --- family representatives, driver-green in r03 ---
+        "kg_triples": _q_kg_triples,
+        "kg_adjacency": _q_kg_adjacency,
+        "kg_links": _q_kg_links,
+        "kg_resolved": _q_kg_resolved,
+        "kg_degree": _q_kg_degree,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_components": _q_kg_components,
+        "kg_graphs": _q_kg_graphs,
+        "kg_errors": _q_kg_errors,
+        "kg_classes": _q_kg_classes,
+        "kg_properties": _q_kg_properties,
+        "kg_shapes": _q_kg_shapes,
+        "kg_prefixes": _q_kg_prefixes,
+        "kg_entities": _q_kg_entities,
+        "kg_formats": _q_kg_formats,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "corpus_curation": _q_corpus_curation,
+        "knn_ivf": _q_knn_ivf,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_centroids": _q_embedding_centroids,
+        "media_features": _q_media_features,
+        "rel_lineitem_agg": _q_rel_lineitem_agg,
+        "rel_topk_per_group": _q_rel_topk_per_group,
+        "rel_asof_join": _q_rel_asof_join,
+        "rel_range_join": _q_rel_range_join,
+        "rel_sessions": _q_rel_sessions,
+        "rel_left_join": _q_rel_left_join,
+        # --- past the 50-entry gate: cousins, all driver-green in r03 ---
+        "kg_incremental": _q_kg_incremental,
+        "kg_paths2": _q_kg_paths2,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_bpe": _q_text_bpe,
+        "text_top_ngrams": _q_text_top_ngrams,
+        "corpus_split": _q_corpus_split,
+        "knn_cosine": _q_knn_cosine,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
+        "rel_join_topk": _q_rel_join_topk,
+        "rel_events_window": _q_rel_events_window,
+        "rel_quantiles": _q_rel_quantiles,
+        "rel_dense_rank": _q_rel_dense_rank,
+        "rel_event_gaps": _q_rel_event_gaps,
+        "rel_merge_join": _q_rel_merge_join,
+        "rel_semi_join": _q_rel_semi_join,
     }
 
 
