@@ -75,11 +75,43 @@ _PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.uint64)
 # --- exact dedup -----------------------------------------------------------
 
 
+_HEX_CHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def text_digest(texts) -> pa.Array:
+    """128-bit content digest of a string column, fully vectorized.
+
+    Two independently-seeded xxhash64 passes (polars' C hash kernel over
+    the whole column) give 128 effective bits — the same
+    collision-negligible equality contract as the per-row blake2b-128 it
+    replaced, with zero per-row Python. The digest is an INTERNAL
+    equality key only: the SQL oracles group by the text itself, so the
+    hash function is free to change (it is NOT stable across polars
+    versions — persist text or re-digest on ingest, never ship digests
+    between engine versions). Hex encoding is a numpy nibble-table
+    gather, and the result is built zero-copy from the flat byte buffer.
+    """
+    import polars as pl
+
+    s = pl.from_arrow(texts) if not isinstance(texts, pl.Series) else texts
+    h1 = s.hash(seed=0x9E3779B9).to_numpy()
+    h2 = s.hash(seed=0x85EBCA77).to_numpy()
+    n = len(h1)
+    raw = np.empty((n, 16), dtype=np.uint8)
+    raw[:, :8] = h1.astype(">u8").view(np.uint8).reshape(n, 8)
+    raw[:, 8:] = h2.astype(">u8").view(np.uint8).reshape(n, 8)
+    hexed = np.empty((n, 32), dtype=np.uint8)
+    hexed[:, ::2] = _HEX_CHARS[raw >> 4]
+    hexed[:, 1::2] = _HEX_CHARS[raw & 0xF]
+    offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(hexed.tobytes())
+    )
+
+
 def add_digest(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    digests = [hashlib.blake2b(t.encode(), digest_size=16).hexdigest() for t in texts]
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(digests, pa.string())],
+        [batch.column("doc_id"), text_digest(batch.column("text"))],
         names=["doc_id", "digest"],
     )
 
@@ -861,11 +893,10 @@ def cross_corpus_dedup(documents_ds, existing_pct: int = 80):
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch.column("doc_id"), pa.int64())
-        texts = batch.column("text").to_pylist()
-        digests = pa.array(
-            [hashlib.blake2b(t.encode(), digest_size=16).hexdigest() for t in texts],
-            pa.string(),
-        )
+        digests = text_digest(batch.column("text"))
+        # md5 over the tiny doc_id strings stays per-row: it is the
+        # SQL-replayable split-membership contract (_md5_low64), not a
+        # corpus-text scan
         existing = pa.array(
             [_md5_low64(str(i)) % 100 < existing_pct for i in ids.to_pylist()],
             pa.bool_(),
