@@ -17,6 +17,7 @@ retry and resume.
 from __future__ import annotations
 
 import json
+import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -282,11 +283,235 @@ def _sorted_block_merge(ds, key_cols, block_fn, schema):
     )
 
 
+class _JsonShapeFallback(Exception):
+    """Decoded JSON column isn't a plain string->string map / annotation-
+    record list — the block merge reverts to the per-group Python path."""
+
+
+# printable ASCII minus '"' and '\' — exactly the characters json.dumps
+# (default ensure_ascii=True) emits verbatim inside a string literal
+_JSON_PLAIN_RE = re.compile(r"^[ !#-\[\]-~]*$")
+_JSON_UNSAFE_PAT = r"[^ !#-\[\]-~]"
+
+
+def _merged_map_frame(df, keys, col, expected_keys):
+    """Group-wise JSON-map union, fully vectorized (the W1 hot path —
+    entity cardinality is corpus-scale, so per-group Python here was the
+    engine's last row-bound loop on a hot shuffle).
+
+    ONE vectorized ``json_decode`` over the unique (key, map) pairs, a
+    per-lang struct-field merge inside a polars ``group_by``, and JSON
+    re-assembly by string fragments — byte-identical to
+    ``json.dumps(m, sort_keys=True)`` (pinned by the equivalence test) —
+    with a per-group ``json.dumps`` fallback when any merged value needs
+    JSON escaping (non-ASCII, quotes, backslashes).
+
+    Conflict rule: per-lang MAX value. The former rule (value from the
+    lexicographically-last JSON source string) was not phase-stable under
+    the salted two-phase merge — a conflicting lang could resolve
+    differently depending on salt bucketing, because phase 2 compared
+    phase-1 MERGED strings, not the original sources. Max is associative,
+    commutative, idempotent and bucketing-independent, and agrees with
+    the old rule on conflict-free corpora (any real vocabulary).
+
+    Returns (merged_json, display) polars Series aligned to
+    ``group_by(keys, maintain_order=True)`` over the keys-sorted input;
+    ``display`` is the en-preferred value ('' counts as missing), null
+    when the merged map is empty (caller coalesces with the scalar min).
+    Raises _JsonShapeFallback when the maps aren't string->string.
+    """
+    import polars as pl
+
+    # input blocks arrive keys-sorted (ds.sort in _sorted_block_merge);
+    # maintain_order unique keeps that order, so no re-sort is needed and
+    # group order lines up with the main agg's
+    sub = df.select(keys + [col]).unique(maintain_order=True)
+    dec = sub[col].str.json_decode(infer_schema_length=None)
+    dt = dec.dtype
+    if not isinstance(dt, pl.Struct):
+        raise _JsonShapeFallback(col)
+    fields = []
+    for f in dt.fields:
+        if f.dtype == pl.Null:
+            continue  # key only ever mapped to JSON null: contributes nothing
+        if f.dtype != pl.String:
+            raise _JsonShapeFallback(col)
+        fields.append(f.name)
+    fields.sort()  # json.dumps(sort_keys=True) emission order
+    fcols = {n: f"_f_{n}" for n in fields}
+    base = sub.drop(col)
+    if fields:
+        base = base.with_columns(
+            [dec.struct.field(n).alias(a) for n, a in fcols.items()]
+        )
+    # plain .max() already skips nulls; drop_nulls().max() forces a slower
+    # per-group path. rechunk(): group_by output is per-group chunked, which
+    # makes every downstream expression ~40x slower until compacted.
+    g = base.group_by(keys, maintain_order=True).agg(
+        [pl.col(a).max() for a in fcols.values()]
+    ).rechunk()
+    assert g.select(keys).equals(expected_keys), "map-merge group order drift"
+    n = g.height
+    if not fields:
+        return (
+            pl.Series(col, ["{}"] * n, dtype=pl.String),
+            pl.Series("_d", [None] * n, dtype=pl.String),
+        )
+    if "en" in fcols:
+        en = (
+            pl.when(pl.col(fcols["en"]) == "")
+            .then(pl.lit(None, pl.String))
+            .otherwise(pl.col(fcols["en"]))
+        )
+    else:
+        en = pl.lit(None, dtype=pl.String)
+    display = g.select(
+        pl.coalesce([en, pl.min_horizontal([pl.col(a) for a in fcols.values()])])
+        .alias("_d")
+    )["_d"]
+    plain = all(_JSON_PLAIN_RE.match(x) for x in fields) and not g.select(
+        pl.any_horizontal(
+            [
+                pl.col(a).str.contains(_JSON_UNSAFE_PAT).fill_null(False)
+                for a in fcols.values()
+            ]
+        ).any()
+    ).item()
+    if plain:
+        frags = [
+            pl.when(pl.col(a).is_null())
+            .then(pl.lit(None, pl.String))
+            .otherwise(pl.lit(f'"{x}": "') + pl.col(a) + pl.lit('"'))
+            for x, a in fcols.items()
+        ]
+        merged = g.select(
+            (
+                pl.lit("{")
+                + pl.concat_str(frags, separator=", ", ignore_nulls=True).fill_null("")
+                + pl.lit("}")
+            ).alias(col)
+        )[col]
+    else:
+        rows = zip(*[g[a].to_list() for a in fcols.values()])
+        merged = pl.Series(
+            col,
+            [
+                json.dumps(
+                    {x: v for x, v in zip(fields, row) if v is not None},
+                    sort_keys=True,
+                )
+                for row in rows
+            ],
+            dtype=pl.String,
+        )
+    return merged, display
+
+
+def _merged_annotations_frame(df, keys, col, expected_keys):
+    """Group-wise annotation-record dedup, fully vectorized. Records
+    dedup by (property, value, lang) and emit in CANONICAL
+    (property, value, lang) sort order, nulls last — annotations are a
+    set; the former first-seen-in-source-string-order emission was an
+    artifact that made the salted two-phase merge order-unstable across
+    bucketings (phase 2 sorted MERGED phase-1 strings, not sources).
+    The Python fallback (_merge_annotation_lists) sorts identically, so
+    both paths emit byte-equal JSON (pinned by the equivalence test).
+    Serialization by fragments (json.dumps(..., sort_keys=True) byte
+    format) with a per-group dumps fallback for values needing JSON
+    escaping."""
+    import polars as pl
+
+    sub = df.select(keys + [col]).unique(maintain_order=True)
+    dec = sub[col].str.json_decode(infer_schema_length=None)
+    dt = dec.dtype
+    if not (isinstance(dt, pl.List) and isinstance(dt.inner, pl.Struct)):
+        if isinstance(dt, pl.List) and dt.inner == pl.Null:
+            # every list empty
+            n = expected_keys.height
+            return pl.Series(col, ["[]"] * n, dtype=pl.String)
+        raise _JsonShapeFallback(col)
+    fdt = {f.name: f.dtype for f in dt.inner.fields}
+    if not set(fdt) <= {"property", "value", "lang"} or any(
+        t not in (pl.String, pl.Null) for t in fdt.values()
+    ):
+        raise _JsonShapeFallback(col)
+    ex = sub.drop(col).with_columns(dec.alias("_a")).explode("_a")
+    # empty source lists explode to a null-struct placeholder row, which
+    # keeps their group present through the group_by; _rec masks them out
+    parts = {}
+    for name, alias in (("property", "_p"), ("value", "_v"), ("lang", "_l")):
+        if name in fdt and fdt[name] == pl.String:
+            parts[alias] = pl.col("_a").struct.field(name)
+        else:
+            parts[alias] = pl.lit(None, dtype=pl.String)
+    ex = ex.with_columns(
+        [e.alias(a) for a, e in parts.items()]
+        + [pl.col("_a").is_not_null().alias("_rec")]
+    ).drop("_a")
+    ex = ex.unique(subset=keys + ["_p", "_v", "_l"], keep="any").sort(
+        keys + ["_p", "_v", "_l"], nulls_last=True
+    )
+    plain = not ex.select(
+        pl.any_horizontal(
+            [
+                pl.col(a).str.contains(_JSON_UNSAFE_PAT).fill_null(False)
+                for a in ("_p", "_v", "_l")
+            ]
+        ).any()
+    ).item()
+    if plain:
+
+        def _q(c):
+            return (
+                pl.when(pl.col(c).is_null())
+                .then(pl.lit("null"))
+                .otherwise(pl.lit('"') + pl.col(c) + pl.lit('"'))
+            )
+
+        frag = (
+            pl.when(pl.col("_rec"))
+            .then(
+                pl.lit('{"lang": ')
+                + _q("_l")
+                + pl.lit(', "property": ')
+                + _q("_p")
+                + pl.lit(', "value": ')
+                + _q("_v")
+                + pl.lit("}")
+            )
+            .otherwise(pl.lit(None, pl.String))
+        )
+        g = ex.with_columns(frag.alias("_frag")).group_by(
+            keys, maintain_order=True
+        ).agg(pl.col("_frag").str.join(", ").alias("_j")).rechunk()
+        assert g.select(keys).equals(expected_keys), "annotation group order drift"
+        return g.select(
+            (pl.lit("[") + pl.col("_j").fill_null("") + pl.lit("]")).alias(col)
+        )[col]
+    g = ex.group_by(keys, maintain_order=True).agg(
+        [pl.col("_p"), pl.col("_v"), pl.col("_l"), pl.col("_rec")]
+    ).rechunk()
+    assert g.select(keys).equals(expected_keys), "annotation group order drift"
+    out = []
+    for ps, vs, ls, recs in zip(
+        g["_p"].to_list(), g["_v"].to_list(), g["_l"].to_list(), g["_rec"].to_list()
+    ):
+        anns = [
+            {"lang": l, "property": p, "value": v}
+            for p, v, l, r in zip(ps, vs, ls, recs)
+            if r
+        ]
+        out.append(json.dumps(anns, sort_keys=True))
+    return pl.Series(col, out, dtype=pl.String)
+
+
 def _merge_json_maps(json_lists, fallback_mins):
     """Per group: merge unique-sorted JSON maps (later keys override in
     json-string sort order — identical to the former row-at-a-time
     dict.update over sorted rows) and compute the en-preferred display
-    value, falling back to min merged value, then min scalar."""
+    value, falling back to min merged value, then min scalar.
+    FALLBACK PATH: used only when _merged_map_frame rejects the decoded
+    shape (non-string map values)."""
     merged_out, display_out = [], []
     for js, fmin in zip(json_lists, fallback_mins):
         m: dict = {}
@@ -297,9 +522,20 @@ def _merge_json_maps(json_lists, fallback_mins):
     return merged_out, display_out
 
 
+def _ann_sort_key(a):
+    # canonical (property, value, lang) order, nulls last — must match the
+    # polars sort in _merged_annotations_frame (nulls_last=True)
+    return tuple(
+        (v is None, v if v is not None else "")
+        for v in (a.get("property"), a.get("value"), a.get("lang"))
+    )
+
+
 def _merge_annotation_lists(json_lists):
-    """Per group: first-seen dedup of annotation records by
-    (property, value, lang) across the unique-sorted JSON lists."""
+    """Per group: dedup of annotation records by (property, value, lang),
+    emitted in canonical (property, value, lang) sort order, nulls last.
+    FALLBACK PATH for _merged_annotations_frame (odd record shapes);
+    byte-equal to it by the shared sort contract."""
     out = []
     for js in json_lists:
         anns, seen = [], set()
@@ -309,6 +545,7 @@ def _merge_annotation_lists(json_lists):
                 if key not in seen:
                     seen.add(key)
                     anns.append(a)
+        anns.sort(key=_ann_sort_key)
         out.append(json.dumps(anns, sort_keys=True))
     return out
 
@@ -328,9 +565,6 @@ def _class_merge_block(mode: str):
 
         df = pl.from_arrow(b)
         aggs = [
-            pl.col("labels_json").unique().sort().alias("_ljs"),
-            pl.col("descriptions_json").unique().sort().alias("_djs"),
-            pl.col("annotations_json").unique().sort().alias("_ajs"),
             pl.col("label").drop_nulls().min().alias("_lmin"),
             pl.col("description").drop_nulls().min().alias("_dmin"),
         ] + [
@@ -343,22 +577,49 @@ def _class_merge_block(mode: str):
             aggs.append(pl.col("doc_id").n_unique().alias("n_docs"))
         if mode == "partial":
             aggs.append(pl.col("doc_id").min().alias("_docrep"))
-        agg = df.group_by(keys, maintain_order=True).agg(aggs)
-        labels_json, label = _merge_json_maps(
-            agg["_ljs"].to_list(), agg["_lmin"].to_list()
-        )
-        descs_json, desc = _merge_json_maps(
-            agg["_djs"].to_list(), agg["_dmin"].to_list()
-        )
-        anns_json = _merge_annotation_lists(agg["_ajs"].to_list())
+        agg = df.group_by(keys, maintain_order=True).agg(aggs).rechunk()
+        gkeys = agg.select(keys)
+        try:
+            lj, ldisp = _merged_map_frame(df, keys, "labels_json", gkeys)
+            dj, ddisp = _merged_map_frame(df, keys, "descriptions_json", gkeys)
+            aj = _merged_annotations_frame(df, keys, "annotations_json", gkeys)
+            labels_json = pc.cast(lj.to_arrow(), pa.string())
+            descs_json = pc.cast(dj.to_arrow(), pa.string())
+            anns_json = pc.cast(aj.to_arrow(), pa.string())
+            label = pc.coalesce(
+                pc.cast(ldisp.to_arrow(), pa.string()),
+                pc.cast(agg["_lmin"].to_arrow(), pa.string()),
+            )
+            desc = pc.coalesce(
+                pc.cast(ddisp.to_arrow(), pa.string()),
+                pc.cast(agg["_dmin"].to_arrow(), pa.string()),
+            )
+        except _JsonShapeFallback:
+            agg2 = df.group_by(keys, maintain_order=True).agg(
+                pl.col("labels_json").unique().sort().alias("_ljs"),
+                pl.col("descriptions_json").unique().sort().alias("_djs"),
+                pl.col("annotations_json").unique().sort().alias("_ajs"),
+            )
+            labels_py, label_py = _merge_json_maps(
+                agg2["_ljs"].to_list(), agg["_lmin"].to_list()
+            )
+            descs_py, desc_py = _merge_json_maps(
+                agg2["_djs"].to_list(), agg["_dmin"].to_list()
+            )
+            anns_py = _merge_annotation_lists(agg2["_ajs"].to_list())
+            labels_json = pa.array(labels_py, pa.string())
+            descs_json = pa.array(descs_py, pa.string())
+            anns_json = pa.array(anns_py, pa.string())
+            label = pa.array(label_py, pa.string())
+            desc = pa.array(desc_py, pa.string())
         t = agg.to_arrow()
         cols = {
             "uri": pc.cast(t.column("uri").combine_chunks(), pa.string()),
-            "label": pa.array(label, pa.string()),
-            "labels_json": pa.array(labels_json, pa.string()),
-            "description": pa.array(desc, pa.string()),
-            "descriptions_json": pa.array(descs_json, pa.string()),
-            "annotations_json": pa.array(anns_json, pa.string()),
+            "label": label,
+            "labels_json": labels_json,
+            "description": desc,
+            "descriptions_json": descs_json,
+            "annotations_json": anns_json,
             "n_docs": pc.cast(t.column("n_docs").combine_chunks(), pa.int64()),
         }
         for c in _CLASS_LIST_COLS:
@@ -459,7 +720,6 @@ def merge_properties_global(ds):
 
         df = pl.from_arrow(b)
         aggs = [
-            pl.col("labels_json").unique().sort().alias("_ljs"),
             pl.col("label").drop_nulls().min().alias("_lmin"),
             pl.col("property_type")
             .replace_strict(_PTYPE_RANK, default=2, return_dtype=pl.Int32)
@@ -471,17 +731,32 @@ def merge_properties_global(ds):
             pl.col(c).explode().drop_nulls().unique().sort().alias(c)
             for c in _PROP_LIST_COLS
         ]
-        agg = df.group_by("uri", maintain_order=True).agg(aggs)
-        labels_json, label = _merge_json_maps(
-            agg["_ljs"].to_list(), agg["_lmin"].to_list()
+        agg = df.group_by("uri", maintain_order=True).agg(aggs).rechunk()
+        try:
+            lj, ldisp = _merged_map_frame(df, ["uri"], "labels_json", agg.select("uri"))
+            labels_json = pc.cast(lj.to_arrow(), pa.string())
+            label = pc.coalesce(
+                pc.cast(ldisp.to_arrow(), pa.string()),
+                pc.cast(agg["_lmin"].to_arrow(), pa.string()),
+            )
+        except _JsonShapeFallback:
+            agg2 = df.group_by("uri", maintain_order=True).agg(
+                pl.col("labels_json").unique().sort().alias("_ljs")
+            )
+            labels_py, label_py = _merge_json_maps(
+                agg2["_ljs"].to_list(), agg["_lmin"].to_list()
+            )
+            labels_json = pa.array(labels_py, pa.string())
+            label = pa.array(label_py, pa.string())
+        ptype = pa.array(
+            [_PTYPE_FROM_RANK[r] for r in agg["_pt"].to_list()], pa.string()
         )
-        ptype = [_PTYPE_FROM_RANK[r] for r in agg["_pt"].to_list()]
         t = agg.to_arrow()
         cols = {
             "uri": pc.cast(t.column("uri").combine_chunks(), pa.string()),
-            "label": pa.array(label, pa.string()),
-            "labels_json": pa.array(labels_json, pa.string()),
-            "property_type": pa.array(ptype, pa.string()),
+            "label": label,
+            "labels_json": labels_json,
+            "property_type": ptype,
             "is_functional": pc.cast(
                 t.column("is_functional").combine_chunks(), pa.bool_()
             ),
@@ -496,7 +771,14 @@ def merge_properties_global(ds):
 
 def merge_shapes_global(ds):
     """Cross-document shape canonicalization: first-non-null scalars
-    (deterministic via doc_id ordering), constraint-map key-union."""
+    (deterministic via doc_id ordering), constraint-map key-union.
+
+    Constraints keep the per-group Python merge deliberately: constraint
+    values are heterogeneous JSON (ints, lists, nested maps — rejected by
+    _merged_map_frame's string-map gate) and the override contract is
+    doc_id order, not lang-wise max. Shape cardinality is vocabulary-
+    scale (SHACL shapes per ontology), not corpus-scale, so this is not
+    a hot loop — unlike the label merges above."""
     schema = pa.schema(
         [
             ("uri", pa.string()),
