@@ -8,8 +8,11 @@ clique); rather than silently OOM the driver, collects go through
 ``bounded_take_all``, which materializes the (small) stream in the object
 store, checks the row count from block metadata (O(1) driver memory), and
 raises ``DriverCollectOverflow`` naming the bound before any row reaches
-the driver. ``GRAFT_DRIVER_COLLECT_CEILING`` overrides every ceiling for
-clusters with a bigger head node.
+the driver. ``GRAFT_DRIVER_COLLECT_CEILING`` RAISES ceilings for clusters
+with a bigger head node — it is a floor applied as max(ceiling, env), so
+setting it high to admit one big collect can never silently shrink the
+intentionally tiny ceilings (k-means centroid rows, HLL register table)
+that other call sites rely on.
 
 Materializing first is not wasted work: several call sites previously
 consumed the stream twice (count implicitly + take_all), and the pinned
@@ -34,7 +37,15 @@ def bounded_take_all(ds, *, what: str, ceiling: int) -> list[dict]:
     """
     env = os.environ.get("GRAFT_DRIVER_COLLECT_CEILING")
     if env:
-        ceiling = int(env)
+        try:
+            env_ceiling = int(env)
+        except ValueError:
+            raise ValueError(
+                "GRAFT_DRIVER_COLLECT_CEILING must be an integer row count, "
+                f"got {env!r}"
+            ) from None
+        # raise-only: never shrink a call site's intentionally tiny ceiling
+        ceiling = max(ceiling, env_ceiling)
     m = ds.materialize()
     n = m.count()  # metadata-only on a materialized dataset
     if n > ceiling:

@@ -186,9 +186,11 @@ def _run_corpus_job(args) -> None:
     import ray
     import ray.data
 
-    from parser_rdf_ray.pipelines.curation import curated_corpus_with_split
+    from parser_rdf_ray.pipelines.curation import (
+        curation_core,
+        curated_corpus_with_split,
+    )
     from parser_rdf_ray.pipelines.dedup import minhash_bucket_audit
-    from parser_rdf_ray.pipelines.curation import quality_filter
     from parser_rdf_ray.state import lineage
 
     t0 = time.time()
@@ -196,7 +198,12 @@ def _run_corpus_job(args) -> None:
         os.path.join(args.input, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
-    curated = curated_corpus_with_split(docs)
+    # ONE core (quality gate + minhash clustering) feeds both the curated
+    # output and the metrics below — the survivor regex pass and the LSH
+    # banding used to run twice per corpus job
+    core = curation_core(docs)
+    survivors, _ = core
+    curated = curated_corpus_with_split(docs, core=core)
     curated_ds, resumed = lineage.checkpoint_stage(
         curated, args.output, "curated", fingerprint=args.run_id, run_id=args.run_id
     )
@@ -219,7 +226,6 @@ def _run_corpus_job(args) -> None:
     ).groupby("split").sum("n").take_all():
         per_split[row["split"]] = int(row["sum(n)"])
 
-    survivors = quality_filter(docs).materialize()
     wall = time.time() - t0
     metrics = {
         "run_id": args.run_id,

@@ -24,14 +24,26 @@ import pyarrow.compute as pc
 from parser_rdf_ray.pipelines.dedup import _md5_low64, near_dup_clusters
 
 
+def split_values(ids, train_pct: int) -> pa.Array:
+    """train/val labels for a list of int doc_ids — THE split contract
+    (md5-low64(doc_id) % 100 < train_pct), shared by hash_split and
+    curated_corpus_with_split so the rule cannot drift between the
+    standalone op and the end-to-end pipeline. One md5 per row over the
+    tiny id strings (C-speed hashlib; the SQL-replayability contract)."""
+    return pa.array(
+        [
+            "train" if _md5_low64(str(i)) % 100 < train_pct else "val"
+            for i in ids
+        ],
+        pa.string(),
+    )
+
+
 def _split_batch(batch: pa.Table, train_pct: int) -> pa.Table:
     ids = pc.cast(batch.column("doc_id"), pa.int64())
-    buckets = [
-        _md5_low64(str(i)) % 100 for i in ids.to_pylist()
-    ]  # one md5 per row; C-speed hashlib, no joins, no state
-    split = ["train" if b < train_pct else "val" for b in buckets]
     return pa.Table.from_arrays(
-        [ids, pa.array(split, pa.string())], names=["doc_id", "split"]
+        [ids, split_values(ids.to_pylist(), train_pct)],
+        names=["doc_id", "split"],
     )
 
 
@@ -65,15 +77,18 @@ def quality_filter(documents_ds, min_tokens: int = 20, min_alpha: float = 0.6):
     return documents_ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def curate_corpus(
+def curation_core(
     documents_ds,
     min_tokens: int = 20,
     min_alpha: float = 0.6,
     threshold: float = 0.8,
 ):
-    """The composed keep-set: quality gate → near-dup clustering over the
-    SURVIVORS → one representative (component-min doc_id) per cluster.
-    Returns a (doc_id) dataset of kept documents.
+    """(survivors, kept): quality gate → near-dup clustering over the
+    SURVIVORS → one representative (component-min doc_id) per cluster —
+    computed ONCE. curate_corpus / curation_report /
+    curated_corpus_with_split all build on this, and a caller that wants
+    more than one of those passes the same core through so the quality
+    regex pass and the minhash banding never run twice per job.
 
     The survivor set is consumed three times downstream (minhash banding,
     verify-text lookup, cluster assignment), so it is pinned with
@@ -87,7 +102,23 @@ def curate_corpus(
         keep = pc.equal(batch.column("cluster_rep"), batch.column("doc_id"))
         return batch.filter(keep).select(["doc_id"])
 
-    return clusters.map_batches(keep_reps, batch_format="pyarrow", zero_copy_batch=True)
+    kept = clusters.map_batches(
+        keep_reps, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return survivors, kept
+
+
+def curate_corpus(
+    documents_ds,
+    min_tokens: int = 20,
+    min_alpha: float = 0.6,
+    threshold: float = 0.8,
+    core=None,
+):
+    """The composed keep-set as a (doc_id) dataset — see curation_core."""
+    if core is None:
+        core = curation_core(documents_ds, min_tokens, min_alpha, threshold)
+    return core[1]
 
 
 def curation_report(
@@ -95,6 +126,7 @@ def curation_report(
     min_tokens: int = 20,
     min_alpha: float = 0.6,
     threshold: float = 0.8,
+    core=None,
 ) -> dict:
     """curate_corpus plus the numbers an operator needs to TRUST the run:
     docs in, quality survivors, kept representatives, and the LSH
@@ -105,14 +137,9 @@ def curation_report(
     level, not just in worker logs."""
     from parser_rdf_ray.pipelines.dedup import minhash_bucket_audit
 
-    survivors = quality_filter(documents_ds, min_tokens, min_alpha).materialize()
-    clusters = near_dup_clusters(survivors, threshold=threshold)
-
-    def keep_reps(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch.column("cluster_rep"), batch.column("doc_id"))
-        return batch.filter(keep).select(["doc_id"])
-
-    kept = clusters.map_batches(keep_reps, batch_format="pyarrow", zero_copy_batch=True)
+    if core is None:
+        core = curation_core(documents_ds, min_tokens, min_alpha, threshold)
+    survivors, kept = core
     return {
         "docs_in": documents_ds.count(),
         "quality_survivors": survivors.count(),
@@ -185,6 +212,7 @@ def curated_corpus_with_split(
     min_alpha: float = 0.6,
     threshold: float = 0.8,
     train_pct: int = 90,
+    core=None,
 ):
     """The deliverable a training run actually consumes: the curated
     keep-set joined back to full document rows, with the deterministic
@@ -201,7 +229,7 @@ def curated_corpus_with_split(
     from parser_rdf_ray.tuning import tune_data_context
 
     tune_data_context()
-    kept = curate_corpus(documents_ds, min_tokens, min_alpha, threshold)
+    kept = curate_corpus(documents_ds, min_tokens, min_alpha, threshold, core=core)
 
     union_schema = pa.schema(
         [
@@ -257,11 +285,7 @@ def curated_corpus_with_split(
         kept_in_run = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
         keep = (kinds == 1) & kept_in_run[run_ids]
         rows = batch.filter(pa.array(keep))
-        ids = rows.column("doc_id").to_pylist()
-        split = pa.array(
-            ["train" if _md5_low64(str(i)) % 100 < train_pct else "val" for i in ids],
-            pa.string(),
-        )
+        split = split_values(rows.column("doc_id").to_pylist(), train_pct)
         return pa.Table.from_arrays(
             [
                 rows.column("doc_id"),

@@ -391,8 +391,11 @@ def media_resize(documents_ds, batch_size: int = 64, concurrency=(1, 4),
     )
 
 
-def media_frames(documents_ds, batch_size: int = 64):
-    # FrameSampler never holds state — always a plain task pool
+def media_frames(documents_ds, batch_size: int = 64, concurrency=None):
+    # FrameSampler never holds state — always a plain task pool.
+    # concurrency is accepted for API compatibility (pre-task-pool callers
+    # passed an actor-pool size) and ignored: the task pool autoscales.
+    del concurrency
     media = documents_ds.map_batches(
         media_rows_from_documents, batch_format="pyarrow", zero_copy_batch=True
     )

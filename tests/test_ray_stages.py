@@ -1531,6 +1531,27 @@ class TestBoundedCollect:
         ds = ray.data.from_arrow(pa.Table.from_pydict({"x": list(range(100))}))
         assert len(bounded_take_all(ds, what="t", ceiling=1)) == 100
 
+    def test_env_override_is_raise_only(self, ray_session, monkeypatch):
+        # a LOW env value must not shrink an intentionally tiny ceiling
+        # (kmeans centroid rows, HLL register table)
+        import ray.data
+
+        from parser_rdf_ray.collect import bounded_take_all
+
+        monkeypatch.setenv("GRAFT_DRIVER_COLLECT_CEILING", "2")
+        ds = ray.data.from_arrow(pa.Table.from_pydict({"x": list(range(50))}))
+        assert len(bounded_take_all(ds, what="t", ceiling=100)) == 50
+
+    def test_env_override_malformed_is_loud(self, ray_session, monkeypatch):
+        import ray.data
+
+        from parser_rdf_ray.collect import bounded_take_all
+
+        monkeypatch.setenv("GRAFT_DRIVER_COLLECT_CEILING", "lots")
+        ds = ray.data.from_arrow(pa.Table.from_pydict({"x": [1]}))
+        with pytest.raises(ValueError, match="GRAFT_DRIVER_COLLECT_CEILING"):
+            bounded_take_all(ds, what="t", ceiling=10)
+
 
 class TestLineageNoneSafety:
     def test_json_safe_row_drops_none(self):
