@@ -68,10 +68,13 @@ def _assembled(sf_dir: str):
     )
 
 
-def _flat_docs(sf_dir: str):
+def _flat_docs(sf_dir: str, columns=("doc_id", "text")):
+    """Pruned read of the flat driver table. Default (doc_id, text) is
+    what the dedup/text consumers scan; pass a tighter or wider tuple per
+    consumer — never read all 5 columns for a 2-column transform."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def entry() -> Any:
@@ -376,7 +379,7 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
 def _q_corpus_split(sf_dir: str):
     from parser_rdf_ray.pipelines.curation import hash_split
 
-    return hash_split(_flat_docs(sf_dir), train_pct=90)
+    return hash_split(_flat_docs(sf_dir, columns=("doc_id",)), train_pct=90)
 
 
 def _q_corpus_curation(sf_dir: str):

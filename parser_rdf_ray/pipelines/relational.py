@@ -803,7 +803,63 @@ MERGE_JOIN_SCHEMA = pa.schema(
 )
 
 
-def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
+def merge_join_pairing(batch: pa.Table, run_key_cols, how: str):
+    """The generalized sort-merge pairing over one co-partitioned block:
+    rows tagged kind 0 (build) / kind 1 (probe), locally re-ordered by
+    (run keys, kind) so each run is [build rows..., probe rows...].
+
+    MANY-TO-MANY: every probe row pairs with EVERY build row of its run
+    (B×P outputs per run) via a vectorized ragged tile (repeat/cumsum
+    arithmetic, zero per-key Python) — a unique build side (B≤1) reduces
+    exactly to the classic first-row broadcast. ``how``: "inner" drops
+    unmatched probes; "left" keeps them once with a null build index
+    (Arrow take-through-null semantics downstream).
+
+    Returns (probe_take, build_take): Arrow index arrays into the
+    re-sorted batch (build_take null where unmatched), plus the re-sorted
+    batch itself — callers .take() their own column selections.
+    """
+    import numpy as np
+
+    from parser_rdf_ray.stages.groups import run_spans
+
+    batch = batch.sort_by(
+        [(c, "ascending") for c in run_key_cols] + [("kind", "ascending")]
+    )
+    starts, _ = run_spans(batch, list(run_key_cols))
+    kinds = batch.column("kind").to_numpy()
+    run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+    run_marks[starts] = 1
+    run_ids = np.cumsum(run_marks) - 1
+    b_counts = np.add.reduceat((kinds == 0).astype(np.int64), starts)
+    probe_idx = np.flatnonzero(kinds == 1)
+    pb = b_counts[run_ids[probe_idx]]  # build rows available per probe row
+    if how == "inner":
+        keep = pb > 0
+        probe_idx, pb = probe_idx[keep], pb[keep]
+        reps = pb
+    else:  # left: unmatched probe emits once with a null build
+        reps = np.maximum(pb, 1)
+    if len(probe_idx) == 0:
+        empty = pa.array([], pa.int64())
+        return batch, empty, empty
+    out_probe = np.repeat(probe_idx, reps)
+    # ragged tile: for probe j with reps_j outputs, local index 0..reps_j-1
+    tot = int(reps.sum())
+    off = np.repeat(np.cumsum(reps) - reps, reps)
+    local = np.arange(tot, dtype=np.int64) - off
+    src_build = np.repeat(starts[run_ids[probe_idx]], reps) + local
+    matched_out = np.repeat(pb > 0, reps)
+    return (
+        batch,
+        pa.array(out_probe),
+        pa.array(src_build, mask=~matched_out),
+    )
+
+
+def orders_customer_merge_join(
+    sf_dir: str, how: str = "inner", salt_buckets: int = 0
+):
     """Large-×-large equi-join (orders ⋈ customer on custkey) as a
     distributed SORT-MERGE JOIN — the shuffle-join primitive for when
     NEITHER side fits a broadcast (orders_join_topk covers the small-side
@@ -815,19 +871,18 @@ def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
     customer, kind 1 = probe / orders) and union — each side moves
     exactly once, through ONE key sort that co-partitions every custkey's
     rows (the engine's pinned co-partition guarantee). Each output block
-    is then locally re-ordered by (key, kind) — cheap, in-memory — so a
-    run is [customer row?, order rows...]; a vectorized run scan
-    (run-id cumsum + take, zero per-key Python) broadcasts the customer
-    attrs onto the run's order rows. Unmatched orders drop (inner);
-    skew note: one hot key's rows land in one partition — salt the probe
-    side + replicate the build row if a key exceeds block scale (same
-    hazard as any hash join; documented, not hit by TPC-H keys).
-    Money stays in int64 cents through the exchange (no float hazard).
+    is then locally re-ordered by (key, kind) and merge_join_pairing
+    fans every probe row out to every build row of its run — the build
+    side need NOT be unique on the join key (many-to-many is exact;
+    pinned by TestMergeJoinManyToMany).
 
-    Assumes the build side is UNIQUE on the join key (customer PK): a
-    duplicate build row would contribute only its run's first row rather
-    than fanning out per duplicate — use a grouped-run pairing if a
-    many-to-many join is ever needed.
+    SKEW: with ``salt_buckets=K`` the probe side salts on a per-row
+    attribute (hash(o_orderkey) % K) and every build row replicates K
+    times (one per salt), so one hot key's probe rows range-partition
+    across up to K blocks instead of one — the standard salted-join
+    trade (K× build replication buys K-way probe parallelism). Output is
+    bit-equal to the unsalted plan (pinned by TestMergeJoinSalting).
+    Money stays in int64 cents through the exchange (no float hazard).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -835,13 +890,14 @@ def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
     import ray
     import ray.data
 
-    from parser_rdf_ray.stages.groups import run_spans
     from parser_rdf_ray.tuning import tune_data_context
 
     tune_data_context()
+    k_salt = max(int(salt_buckets), 1)
     union_schema = pa.schema(
         [
             ("key", pa.int64()),
+            ("salt", pa.int32()),
             ("kind", pa.int8()),
             ("o_orderkey", pa.int64()),
             ("cents", pa.int64()),
@@ -852,9 +908,18 @@ def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
 
     def tag_customer(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        if k_salt > 1:
+            # replicate each build row once per salt bucket
+            idx = np.repeat(np.arange(n, dtype=np.int64), k_salt)
+            b = b.take(pa.array(idx))
+            salt = np.tile(np.arange(k_salt, dtype=np.int32), n)
+            n = b.num_rows
+        else:
+            salt = np.zeros(n, dtype=np.int32)
         return pa.Table.from_arrays(
             [
                 pc.cast(b.column("c_custkey"), pa.int64()),
+                pa.array(salt),
                 pa.array(np.zeros(n, dtype=np.int8)),
                 pa.nulls(n, pa.int64()),
                 pa.nulls(n, pa.int64()),
@@ -870,9 +935,23 @@ def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
             pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
             pa.int64(),
         )
+        if k_salt > 1:
+            # salt on a per-row attribute so a hot KEY's rows spread;
+            # within-run determinism only (the MinHashBands contract)
+            import polars as pl
+
+            salt = (
+                pl.from_arrow(pc.cast(b.column("o_orderkey"), pa.int64()))
+                .hash(seed=29)
+                .to_numpy()
+                % k_salt
+            ).astype(np.int32)
+        else:
+            salt = np.zeros(n, dtype=np.int32)
         return pa.Table.from_arrays(
             [
                 pc.cast(b.column("o_custkey"), pa.int64()),
+                pa.array(salt),
                 pa.array(np.ones(n, dtype=np.int8)),
                 pc.cast(b.column("o_orderkey"), pa.int64()),
                 cents,
@@ -891,33 +970,17 @@ def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
 
-    srt = cust.union(orders).sort("key")
+    srt = cust.union(orders).sort(["key", "salt"])
 
     def join_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return MERGE_JOIN_SCHEMA.empty_table()
-        batch = batch.sort_by([("key", "ascending"), ("kind", "ascending")])
-        starts, _ = run_spans(batch, ["key"])
-        kinds = batch.column("kind").to_numpy()
-        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
-        run_marks[starts] = 1
-        run_ids = np.cumsum(run_marks) - 1
-        # run's first row is the customer row iff kind==0 there
-        has_build = kinds[starts] == 0
-        build_pos = starts  # position of the customer row per run (if any)
-        probe_mask = kinds == 1
-        if how == "inner":
-            probe_mask &= has_build[run_ids]
-        if not probe_mask.any():
-            return MERGE_JOIN_SCHEMA.empty_table()
-        probe_idx = np.flatnonzero(probe_mask)
-        matched = has_build[run_ids[probe_idx]]
-        # null index → null output value (Arrow take semantics): unmatched
-        # left-join probes pick up null customer attrs with no branching
-        src_build = pa.array(
-            build_pos[run_ids[probe_idx]], mask=~matched
+        batch, probe_take, build_take = merge_join_pairing(
+            batch, ["key", "salt"], how
         )
-        probe = batch.take(pa.array(probe_idx))
+        if len(probe_take) == 0:
+            return MERGE_JOIN_SCHEMA.empty_table()
+        probe = batch.take(probe_take)
         return pa.Table.from_arrays(
             [
                 probe.column("o_orderkey"),
@@ -925,8 +988,8 @@ def orders_customer_merge_join(sf_dir: str, how: str = "inner"):
                 pc.divide(
                     pc.cast(probe.column("cents"), pa.float64()), pa.scalar(100.0)
                 ),
-                batch.column("c_name").take(src_build),
-                batch.column("c_mktsegment").take(src_build),
+                batch.column("c_name").take(build_take),
+                batch.column("c_mktsegment").take(build_take),
             ],
             schema=MERGE_JOIN_SCHEMA,
         )

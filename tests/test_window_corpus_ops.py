@@ -385,6 +385,112 @@ class TestMergeJoin:
         assert got.o_totalprice.tolist() == exp.o_totalprice.tolist()
 
 
+def _tagged_join_batch(build_keys, probe_keys):
+    """One co-partitioned block in the merge join's tagged union shape."""
+    nb, np_ = len(build_keys), len(probe_keys)
+    return pa.Table.from_pydict(
+        {
+            "key": list(build_keys) + list(probe_keys),
+            "salt": [0] * (nb + np_),
+            "kind": pa.array([0] * nb + [1] * np_, pa.int8()),
+            "o_orderkey": [None] * nb + list(range(np_)),
+            "cents": [None] * nb + [100 * (i + 1) for i in range(np_)],
+            "c_name": [f"B{k}:{i}" for i, k in enumerate(build_keys)] + [None] * np_,
+            "c_mktsegment": [f"S{k}" for k in build_keys] + [None] * np_,
+        }
+    )
+
+
+class TestMergeJoinManyToMany:
+    """merge_join_pairing: the build side need NOT be unique — every
+    probe row pairs with EVERY build row of its run (B×P), matching
+    pandas merge exactly; 'left' keeps unmatched probes once."""
+
+    def _pairs(self, batch, how):
+        from parser_rdf_ray.pipelines.relational import merge_join_pairing
+
+        batch, probe_take, build_take = merge_join_pairing(
+            batch, ["key", "salt"], how
+        )
+        probe = batch.take(probe_take)
+        return pd.DataFrame(
+            {
+                "key": probe.column("key").to_pylist(),
+                "o_orderkey": probe.column("o_orderkey").to_pylist(),
+                "c_name": batch.column("c_name").take(build_take).to_pylist(),
+            }
+        ).sort_values(["o_orderkey", "c_name"], na_position="last").reset_index(drop=True)
+
+    def test_duplicate_build_keys_fan_out(self):
+        # key 7 has THREE build rows; key 9 has one; key 4 has none
+        batch = _tagged_join_batch([7, 7, 7, 9], [7, 7, 9, 4])
+        got = self._pairs(batch, "inner")
+        # 2 probes on key 7 × 3 builds + 1 probe on key 9 × 1 build = 7 rows
+        assert len(got) == 7
+        build = pd.DataFrame(
+            {"key": [7, 7, 7, 9], "c_name": ["B7:0", "B7:1", "B7:2", "B9:3"]}
+        )
+        probe = pd.DataFrame({"key": [7, 7, 9, 4], "o_orderkey": [0, 1, 2, 3]})
+        exp = probe.merge(build, on="key").sort_values(
+            ["o_orderkey", "c_name"]
+        ).reset_index(drop=True)
+        assert got.equals(exp[["key", "o_orderkey", "c_name"]])
+
+    def test_left_keeps_unmatched_probe_once(self):
+        batch = _tagged_join_batch([7, 7], [7, 4])
+        got = self._pairs(batch, "left")
+        assert len(got) == 3  # probe@7 × 2 builds + probe@4 × 1 null
+        assert got[got.key == 4].c_name.isna().all()
+
+    def test_unique_build_reduces_to_classic(self):
+        batch = _tagged_join_batch([1, 2, 3], [1, 1, 2, 9])
+        got = self._pairs(batch, "inner")
+        assert got.o_orderkey.tolist() == [0, 1, 2]
+        assert got.c_name.tolist() == ["B1:0", "B1:0", "B2:1"]
+
+
+class TestMergeJoinSalting:
+    def test_salted_output_equals_unsalted(self, ray_session, tmp_path):
+        """salt_buckets=K (probe salting + K× build replication) must be
+        bit-equal to the unsalted plan — the hot-key escape hatch changes
+        partitioning only."""
+        from parser_rdf_ray.pipelines.relational import orders_customer_merge_join
+
+        rng = np.random.RandomState(23)
+        cust = pd.DataFrame(
+            {
+                "c_custkey": np.arange(20, dtype=np.int64),
+                "c_name": [f"Customer#{i}" for i in range(20)],
+                "c_mktsegment": [f"SEG{i % 3}" for i in range(20)],
+            }
+        )
+        # HOT KEY: 80% of orders hit custkey 5
+        keys = np.where(rng.uniform(size=3000) < 0.8, 5,
+                        rng.randint(0, 25, 3000)).astype(np.int64)
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(3000, dtype=np.int64),
+                "o_custkey": keys,
+                "o_totalprice": np.round(rng.uniform(1, 1000, 3000) * 100) / 100,
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(cust, preserve_index=False), sf / "customer.parquet")
+        pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), sf / "orders.parquet")
+
+        def run(**kw):
+            return (
+                orders_customer_merge_join(str(sf), **kw)
+                .to_pandas()
+                .sort_values(["o_orderkey"])
+                .reset_index(drop=True)
+            )
+
+        for how in ("inner", "left"):
+            assert run(how=how, salt_buckets=4).equals(run(how=how))
+
+
 class TestTfidfTopTerms:
     def test_matches_direct_computation(self, ray_session):
         import ray.data
