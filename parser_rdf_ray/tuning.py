@@ -80,6 +80,17 @@ def small_graph_max() -> int:
     this size — the stages/link.py SMALL_STATE_MAX_ENTRIES principle).
     The distributed path is bit-identical (order-independent integer
     arithmetic on both) and remains the path for corpus-scale graphs.
+
+    MEMORY BOUND behind the 2M default: the single task holds the
+    dictionary-encoded edge set plus rank/label arrays — ~2M edges ×
+    (2 × ~40B URI + 3 × 8B int) ≈ 250–400 MB peak, comfortably inside a
+    2–4 GB worker heap. On a REAL CLUSTER the single task pins one node;
+    below the bound that is the correct trade (each distributed iteration
+    pays a ~0.5–1 s exchange floor that dwarfs sub-bound compute), and
+    above it the distributed loop engages automatically — pinned by
+    TestIterativeSmallGraphPath.test_distributed_engages_above_positive_bound.
+    Raise it only with measured per-worker heap headroom.
+
     GRAFT_SMALL_GRAPH_MAX overrides; 0 forces the distributed path
     (tests use this to pin both)."""
     import os

@@ -841,6 +841,42 @@ class TestIterativeSmallGraphPath:
         assert small.component.tolist() == dist.component.tolist()
         assert small.component.nunique() > 1
 
+    def test_distributed_engages_above_positive_bound(self, ray_session, monkeypatch):
+        """Cluster semantics of the threshold itself (not the =0 test
+        sentinel): with GRAFT_SMALL_GRAPH_MAX set to a positive bound
+        BELOW the edge count, the distributed loop must engage — observed
+        via a counting wrapper — and stay bit-equal to the single-task
+        path. On a real cluster this is the contract that keeps one hot
+        node from absorbing an over-bound graph."""
+        import parser_rdf_ray.tuning as tuning
+        from parser_rdf_ray.pipelines.kg_build import pagerank
+
+        single = (
+            pagerank(self._adjacency(), n_iter=3)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        calls = []
+        orig = tuning.small_graph_max
+
+        def counting():
+            v = orig()
+            calls.append(v)
+            return v
+
+        monkeypatch.setenv("GRAFT_SMALL_GRAPH_MAX", "10")  # < edge count
+        monkeypatch.setattr(tuning, "small_graph_max", counting)
+        dist = (
+            pagerank(self._adjacency(), n_iter=3)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert calls == [10]  # threshold consulted, bound was positive
+        assert single.node.tolist() == dist.node.tolist()
+        assert single["rank"].tolist() == dist["rank"].tolist()
+
 
 class TestCountMinSketch:
     def test_never_underestimates_and_exact_without_collisions(self, ray_session):
