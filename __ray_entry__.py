@@ -875,6 +875,18 @@ def _q_text_redact(sf_dir: str):
     return redact_terms(docs, ["key", "merge", "window"])
 
 
+def _q_corpus_pack_sequences(sf_dir: str):
+    from parser_rdf_ray.pipelines.curation import pack_sequences
+
+    return pack_sequences(_flat_docs(sf_dir), seq_len=2048)
+
+
+def _q_rel_rollup(sf_dir: str):
+    from parser_rdf_ray.pipelines.relational import lineitem_rollup
+
+    return lineitem_rollup(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries (dict order).  Layout:
@@ -905,11 +917,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": _q_text_redact,
         "text_tfidf": _q_text_tfidf,
         "embedding_kmeans": _q_embedding_kmeans,
+        "corpus_pack_sequences": _q_corpus_pack_sequences,
+        "rel_rollup": _q_rel_rollup,
         # --- family representatives, driver-green in r03 ---
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
         "kg_links": _q_kg_links,
-        "kg_resolved": _q_kg_resolved,
         "kg_degree": _q_kg_degree,
         "kg_pagerank": _q_kg_pagerank,
         "kg_components": _q_kg_components,
@@ -927,7 +940,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
         "corpus_curation": _q_corpus_curation,
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -940,6 +952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessions": _q_rel_sessions,
         "rel_left_join": _q_rel_left_join,
         # --- past the 50-entry gate: cousins, all driver-green in r03 ---
+        "kg_resolved": _q_kg_resolved,
+        "text_langid": _q_text_langid,
         "kg_incremental": _q_kg_incremental,
         "kg_paths2": _q_kg_paths2,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1905,4 +1919,34 @@ FROM documents
     # (minhash, simhash, langid, fingerprint, knn_ivf) are oracle-checked
     # by injecting their seeded constants (permutations / hyperplanes /
     # profiles / hash choice) into SQL that recomputes them exactly.
+    # concat-and-chunk packing: the whole op is one windowed prefix sum
+    # over the shared whitespace-token contract; all values nonnegative,
+    # so DuckDB's truncating // equals floor division
+    sql["corpus_pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 2048 AS BIGINT) AS first_seq,
+       CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS last_seq
+FROM c
+"""
+
+    # ROLLUP emits NULL for rolled columns; quantities are integral in
+    # TPC-H so the int64 sum is exact on both sides
+    sql["rel_rollup"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    )
+
     return sql

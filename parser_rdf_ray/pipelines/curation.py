@@ -336,3 +336,99 @@ def per_group_sample(documents_ds, k: int = 5):
     return grouped_topk(
         projected, ["lang"], "rank_hash", k, descending=False, tie_cols=["doc_id"]
     )
+
+
+PACK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("start_tok", pa.int64()),
+        ("first_seq", pa.int64()),
+        ("last_seq", pa.int64()),
+    ]
+)
+
+
+def pack_sequences(documents_ds, seq_len: int = 2048):
+    """SEQUENCE PACKING (concat-and-chunk): the pretraining-data step
+    that concatenates documents in doc_id order into one token stream and
+    cuts it into fixed-length training sequences. Emits, per document,
+    its global token offset and the [first_seq, last_seq] span of
+    sequence indices it lands in (a doc may straddle a boundary — the
+    standard GPT-style packing; sequences are seq_len tokens, no padding).
+    Token counts use the shared whitespace contract (pipelines/text.
+    n_tokens_of == DuckDB len(string_split_regex(trim(text),'\\s+'))), so
+    the whole op is SQL-replayable with one SUM() OVER window.
+
+    Scale plan (the dense-rank two-pass shape): counts are one pruned
+    vectorized pass; ONE doc_id sort range-partitions the stream; each
+    block's TOKEN TOTAL (a single int64) ships to the driver, which
+    prefix-sums blocks×1 values into per-block starting offsets; a
+    second pass over the pinned block refs assigns per-doc offsets with
+    a numpy exclusive cumsum plus the block offset. Data moves once; the
+    cross-block prefix is the one thing Ray Data alone cannot express
+    (same raw-ref tail as dense_rank_customers)."""
+    import numpy as np
+    import ray
+
+    from parser_rdf_ray.pipelines.text import n_tokens_of
+    from parser_rdf_ray.tuning import tune_data_context
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    tune_data_context()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                n_tokens_of(batch.column("text")),
+            ],
+            names=["doc_id", "n_tokens"],
+        )
+
+    srt = (
+        documents_ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+        .materialize()
+    )
+    refs = [
+        br for bundle in srt.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+    @ray.remote
+    def block_total(block: pa.Table) -> int:
+        if block.num_rows == 0:
+            return 0
+        return int(
+            pc.sum(block.column("n_tokens")).as_py()
+        )
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def pack_block(block: pa.Table, offset: int):
+        if block.num_rows == 0:
+            return PACK_SCHEMA.empty_table()
+        n = block.column("n_tokens").to_numpy()
+        start = offset + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        # n_tokens >= 1 always (trim+split of '' yields ['']), so
+        # (start + n - 1) is the doc's last token index
+        first_seq = start // seq_len
+        last_seq = (start + n - 1) // seq_len
+        return pa.Table.from_arrays(
+            [
+                block.column("doc_id"),
+                pa.array(n, pa.int64()),
+                pa.array(start, pa.int64()),
+                pa.array(first_seq, pa.int64()),
+                pa.array(last_seq, pa.int64()),
+            ],
+            schema=PACK_SCHEMA,
+        )
+
+    import ray.data
+
+    out_refs = [pack_block.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out_refs)

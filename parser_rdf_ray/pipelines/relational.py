@@ -1612,3 +1612,95 @@ def ntile_customers(sf_dir: str, k: int = 4):
 
     out_refs = [tile_block.remote(r, offsets[i], totals) for i, r in enumerate(refs)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+ROLLUP_SCHEMA = pa.schema(
+    [
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("sum_qty", pa.int64()),
+        ("n_rows", pa.int64()),
+    ]
+)
+
+
+def lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the multi-level
+    subtotal aggregate (finest groups + per-returnflag subtotals + grand
+    total, rolled columns NULL — DuckDB ROLLUP semantics exactly).
+
+    Scale plan: lineitem is scanned ONCE with a per-block polars combiner
+    (int64 quantity units — l_quantity is integral in TPC-H, so the sum
+    is exact and order-independent); the groupby reduces blocks×groups
+    partial rows; the coarser rollup levels then re-aggregate the BASE
+    table, which is bounded by group cardinality (a few rows), inside one
+    task — never a second scan of the fact table."""
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        df = pl.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pc.cast(batch.column("l_returnflag"), pa.string()),
+                    pc.cast(batch.column("l_linestatus"), pa.string()),
+                    qty,
+                ],
+                names=["l_returnflag", "l_linestatus", "q"],
+            )
+        )
+        import polars as _pl
+
+        agg = df.group_by(["l_returnflag", "l_linestatus"]).agg(
+            _pl.col("q").sum().alias("qty_sum"), _pl.len().alias("n")
+        )
+        return agg.to_arrow()
+
+    base = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["qty_sum", "n"])
+    )
+
+    def levels(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return ROLLUP_SCHEMA.empty_table()
+        df = pl.from_arrow(batch).rename(
+            {"sum(qty_sum)": "sum_qty", "sum(n)": "n_rows"}
+        )
+        fine = df.select(["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+        per_flag = (
+            df.group_by("l_returnflag")
+            .agg(pl.col("sum_qty").sum(), pl.col("n_rows").sum())
+            .with_columns(pl.lit(None, pl.String).alias("l_linestatus"))
+            .select(["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+        )
+        grand = df.select(
+            pl.lit(None, pl.String).alias("l_returnflag"),
+            pl.lit(None, pl.String).alias("l_linestatus"),
+            pl.col("sum_qty").sum(),
+            pl.col("n_rows").sum(),
+        )
+        out = pl.concat([fine, per_flag, grand]).to_arrow()
+        return pa.Table.from_arrays(
+            [pc.cast(out.column(f.name), f.type) for f in ROLLUP_SCHEMA],
+            schema=ROLLUP_SCHEMA,
+        )
+
+    # the base aggregate is group-cardinality-sized: one task sees it all
+    return base.repartition(1).map_batches(
+        levels, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

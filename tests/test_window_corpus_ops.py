@@ -1422,3 +1422,101 @@ class TestNtile:
         for nat in range(6):
             sizes = got[got.c_nationkey == nat].tile.value_counts()
             assert sizes.max() - sizes.min() <= 1
+
+
+class TestPackSequences:
+    def test_boundary_straddle_and_offsets(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import pack_sequences
+
+        texts = {
+            1: "a b c",          # 3 tokens -> [0,3) seq 0
+            2: "d e f g",        # 4 tokens -> [3,7) straddles 4: seqs 0-1
+            3: "h",              # 1 token  -> [7,8) seq 1
+            4: "",               # trim+split('') == [''] -> 1 token [8,9) seq 2
+        }
+        tbl = pa.Table.from_pydict(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        )
+        out = (
+            pack_sequences(ray.data.from_arrow(tbl), seq_len=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.n_tokens.tolist() == [3, 4, 1, 1]
+        assert out.start_tok.tolist() == [0, 3, 7, 8]
+        assert out.first_seq.tolist() == [0, 0, 1, 2]
+        assert out.last_seq.tolist() == [0, 1, 1, 2]
+
+    def test_cross_block_prefix_is_global(self, ray_session):
+        """Offsets must accumulate across sorted blocks, not restart."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import pack_sequences
+
+        n = 500
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": list(range(n)),
+                "text": ["tok " * ((i % 7) + 1) for i in range(n)],
+            }
+        )
+        out = (
+            pack_sequences(
+                ray.data.from_arrow(tbl).repartition(16), seq_len=64
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # exclusive prefix property holds globally
+        assert out.start_tok.tolist() == np.concatenate(
+            [[0], np.cumsum(out.n_tokens.to_numpy())[:-1]]
+        ).tolist()
+
+    def test_rejects_nonpositive_seq_len(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import pack_sequences
+
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(
+                ray.data.from_arrow(pa.Table.from_pydict({"doc_id": [1], "text": ["x"]})),
+                seq_len=0,
+            )
+
+
+class TestLineitemRollup:
+    def test_levels_match_duckdb(self, ray_session, tmp_path):
+        import duckdb
+        import ray.data
+
+        from parser_rdf_ray.pipelines.relational import lineitem_rollup
+
+        rng = np.random.RandomState(7)
+        li = pd.DataFrame(
+            {
+                "l_returnflag": rng.choice(["A", "N", "R"], 400),
+                "l_linestatus": rng.choice(["O", "F"], 400),
+                "l_quantity": rng.randint(1, 51, 400).astype(float),
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False), sf / "lineitem.parquet")
+        got = lineitem_rollup(str(sf)).to_pandas()
+        exp = duckdb.sql(
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows "
+            f"FROM read_parquet('{sf}/lineitem.parquet') "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ).df()
+        key = ["l_returnflag", "l_linestatus"]
+        got = got.sort_values(key, na_position="last").reset_index(drop=True)
+        exp = exp.sort_values(key, na_position="last").reset_index(drop=True)
+        assert got.fillna("~").astype(str).equals(exp.fillna("~").astype(str))
+        # 3×2 fine + 3 subtotals + 1 grand total
+        assert len(got) == 10
