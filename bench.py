@@ -53,12 +53,39 @@ def _init_ray(num_cpus: int):
 
 
 def _warmup(num_cpus: int) -> None:
-    """Spin up the worker pool before timing — otherwise the first pipeline
-    measures process startup, not the engine."""
+    """Spin up the worker pool AND import the engine's heavy modules in
+    every worker before timing. A trivial-lambda warmup is not enough:
+    each worker pays polars/numpy/parser imports (~1-2 s of CPU) the
+    first time a task needs them, which inflated the first ~15 timed
+    queries of a session by 1.5-3x (measured: the same query read 2.9 s
+    at bench position 24 and 1.3 s after an import warmup; reversing the
+    pick order moved the slowdown with the position, not the query)."""
     import ray.data
 
-    ray.data.range(num_cpus * 8, override_num_blocks=num_cpus * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
+    def heat(b):
+        import hashlib  # noqa: F401
+        import numpy  # noqa: F401
+        import polars  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        import parser_rdf_ray.formats.ntriples  # noqa: F401
+        import parser_rdf_ray.pipelines.dedup  # noqa: F401
+        import parser_rdf_ray.pipelines.kg_build  # noqa: F401
+        import parser_rdf_ray.pipelines.multimodal  # noqa: F401
+        import parser_rdf_ray.pipelines.relational  # noqa: F401
+        import parser_rdf_ray.pipelines.similarity  # noqa: F401
+        import parser_rdf_ray.pipelines.text  # noqa: F401
+        import parser_rdf_ray.sources.documents  # noqa: F401
+        import parser_rdf_ray.stages.assemble  # noqa: F401
+        import parser_rdf_ray.stages.canonicalize  # noqa: F401
+        import parser_rdf_ray.stages.extract  # noqa: F401
+
+        return b
+
+    # many more tiny tasks than workers so (nearly) every worker process
+    # runs at least one and performs the imports
+    ray.data.range(num_cpus * 16, override_num_blocks=num_cpus * 8).map_batches(
+        heat, batch_format="pyarrow", batch_size=1
     ).materialize()
 
 
@@ -158,6 +185,8 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "rel_covar",
         "rel_ntile",
         "corpus_per_lang_sample",
+        "corpus_pack_sequences",
+        "rel_rollup",
     ]
     import gc
 

@@ -655,9 +655,22 @@ def merge_classes_global(ds, salt_buckets: int = 0):
     """Cross-document class canonicalization: groupby(uri) → field-wise merge.
 
     With salt_buckets=K, runs two-phase (salted partial merges → final
-    merge) to split head-entity hot keys across K reducers.
+    merge) to split head-entity hot keys across K reducers — SIZE-ADAPTIVE:
+    below tuning.salted_merge_min() rows the table takes the single-phase
+    plain merge instead (the second exchange's session floor dwarfs any
+    skew win at that size; bit-equal outputs pinned by
+    TestSaltedMergePhaseStability). The materialize() is not wasted work:
+    the sort that follows materializes its input internally anyway, and
+    the pinned blocks make count() metadata-only.
     """
     if salt_buckets and salt_buckets > 1:
+        from parser_rdf_ray.tuning import salted_merge_min
+
+        ds = ds.materialize()
+        if ds.count() < salted_merge_min():
+            return _sorted_block_merge(
+                ds, ["uri"], _class_merge_block("plain"), MERGED_CLASSES_SCHEMA
+            )
 
         def add_salt(batch: pa.Table) -> pa.Table:
             # vectorized doc_id → bucket hash; only within-run determinism

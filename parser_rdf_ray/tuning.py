@@ -99,3 +99,22 @@ def small_graph_max() -> int:
     if env is not None:
         return int(env)
     return 2_000_000
+
+
+def salted_merge_min() -> int:
+    """Row-count threshold below which the two-phase SALTED entity merge
+    (merge_classes_global salt_buckets>1) collapses to the single-phase
+    plain merge: salting exists to split head-entity hot keys across
+    reducers, which matters only when the extracted entity table is large
+    — below the bound the second exchange's ~0.5-1 s session floor is
+    pure overhead (measured: kg_classes merge leg 2.0 s two-phase vs
+    ~1.0 s single at sf0.1). Outputs are bit-equal either way (the merge
+    is associative/commutative/idempotent; pinned by
+    TestSaltedMergePhaseStability). GRAFT_SALTED_MERGE_MIN overrides;
+    0 forces the salted path (tests use this to pin both)."""
+    import os
+
+    env = os.environ.get("GRAFT_SALTED_MERGE_MIN")
+    if env is not None:
+        return int(env)
+    return 1_000_000

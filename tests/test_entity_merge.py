@@ -158,8 +158,12 @@ class TestVectorizedMergeEquivalence:
 
 @pytest.mark.usefixtures("ray_session")
 class TestSaltedMergePhaseStability:
-    def test_salted_equals_plain(self):
+    def test_salted_equals_plain(self, monkeypatch):
         import ray.data
+
+        # the size-adaptive gate would route this tiny table to the plain
+        # path; force the REAL salted two-phase so the test isn't vacuous
+        monkeypatch.setenv("GRAFT_SALTED_MERGE_MIN", "0")
 
         rows = []
         for i in range(60):
