@@ -191,18 +191,27 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
     import gc
 
     out: dict[str, float] = {}
+    # best-of-2 per query: even with the import warmup, a query's FIRST
+    # execution in a session can pay residual one-time costs (stage-
+    # specific worker spin-up, plasma cache population) that reversing the
+    # pick order showed to be position-dependent session state, not
+    # engine cost. The min of two back-to-back runs is the steady-state
+    # number — the one comparable across rounds and machines.
     for name in picks:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        # consume the stream (count() avoids collecting payloads)
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.time() - t0, 3)
-        # drop the dataset's plasma references before the next query so
-        # earlier pipelines' materialized blocks can't crowd the object
-        # store and inflate later timings
-        res = None  # noqa: F841
-        gc.collect()
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            # consume the stream (count() avoids collecting payloads)
+            if hasattr(res, "count"):
+                res.count()
+            best = min(best, time.time() - t0)
+            # drop the dataset's plasma references before the next run so
+            # earlier pipelines' materialized blocks can't crowd the
+            # object store and inflate later timings
+            res = None  # noqa: F841
+            gc.collect()
+        out[name] = round(best, 3)
     return out
 
 
