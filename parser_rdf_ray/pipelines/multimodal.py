@@ -4,12 +4,15 @@ Media spans are opaque references/bytes with typed metadata. The Ray-side
 plumbing — schemas, batch sizing, actor-pool signatures, output layout —
 is real and tested. Codec status:
 
-- REAL (pure-numpy, no external library): netpbm P5/P6 images, 24-bit
-  uncompressed BMP, and RIFF/WAVE PCM-16 audio — decode, luminance /
-  energy histogram features, and nearest-neighbor resize with P6
-  re-encode (`_decode_image` / `_decode_wav_pcm16` / `_nearest_resize`).
-- STUBBED: compressed formats (JPEG/PNG/MP3/H.264 …) require codec
-  libraries absent from this build; `decode_real` raises
+- REAL (no external library): netpbm P5/P6 images, 24-bit uncompressed
+  BMP, PNG (stdlib zlib inflate + numpy scanline unfiltering, all five
+  filter types, gray/gray+alpha/RGB/RGBA — plus a filter-0 encoder),
+  and RIFF/WAVE PCM-16 audio — decode, luminance / energy histogram
+  features, and nearest-neighbor resize with P6 re-encode
+  (`_decode_image` / `_decode_png` / `_decode_wav_pcm16` /
+  `_nearest_resize`).
+- STUBBED: formats needing an actual codec (JPEG/MP3/H.264 …, plus
+  palette/16-bit/interlaced PNG) — `decode_real` raises
   NotImplementedError for those, and the clearly-marked deterministic
   fake remains the default for the driver corpus's ref-only (payload-
   less) media rows so the oracle contract is unchanged.
@@ -64,13 +67,141 @@ def _decode_bmp24(data: bytes) -> np.ndarray:
     return bgr[:, :, ::-1]  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """REAL PNG decode using only stdlib zlib + numpy (no codec library):
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced. Scanline
+    unfiltering per the PNG spec: None/Up vectorized whole-row, Sub as a
+    per-channel-lane cumsum; Average/Paeth carry a serial left-neighbor
+    dependency, so those rows run a per-byte loop (decode is per-payload
+    work inside the actor pool either way). Alpha is dropped and
+    gray+alpha reduces to gray — features operate on color content.
+    Palette (PLTE), 16-bit depth and Adam7 interlacing raise
+    NotImplementedError."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8:
+        raise NotImplementedError("only 8-bit-per-channel PNG supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    rows = lines[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        r = rows[y]
+        up = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            o = r.copy()
+        elif f == 1:  # Sub: per-lane prefix sum
+            o = np.cumsum(r.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            o = (r + up) % 256
+        elif f == 3:  # Average (serial left dependency)
+            o = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = o[i - bpp] if i >= bpp else 0
+                o[i] = (r[i] + (a + up[i]) // 2) % 256
+        elif f == 4:  # Paeth (serial left dependency)
+            o = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = int(o[i - bpp]) if i >= bpp else 0
+                c = int(up[i - bpp]) if i >= bpp else 0
+                b = int(up[i])
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                o[i] = (r[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = o
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        return img[:, :, 0]
+    if channels == 2:  # gray + alpha → gray
+        return img[:, :, 0]
+    if channels == 4:  # drop alpha
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 rows, one zlib IDAT) — the
+    round-trip counterpart of _decode_png and a real re-encode target for
+    resized output. Accepts uint8 (h, w) gray or (h, w, 3) RGB."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype, channels = 0, 1
+        body = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ctype, channels = 2, 3
+        body = img
+    else:
+        raise ValueError("encoder supports uint8 gray or RGB only")
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    scan = np.zeros((h, w * channels + 1), np.uint8)
+    scan[:, 1:] = body.reshape(h, w * channels)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def _decode_image(data: bytes) -> np.ndarray:
     if data[:2] in (b"P6", b"P5"):
         return _decode_netpbm(data)
     if data[:2] == b"BM":
         return _decode_bmp24(data)
+    if data[:8] == _PNG_SIG:
+        return _decode_png(data)
     raise NotImplementedError(
-        "compressed image formats require codecs not present in this build"
+        "compressed image formats beyond PNG require codecs not present in this build"
     )
 
 
@@ -184,20 +315,20 @@ class MediaDecoder:
         # real implementation would load codecs / a feature model here, once
 
     def decode_real(self, payload: bytes, kind: str) -> np.ndarray:
-        """REAL decode for the uncompressed formats this build can handle
-        without external codecs: netpbm P5/P6 and 24-bit BMP images
-        (16-bin luminance-histogram feature) and RIFF/WAVE PCM-16 audio
-        (16-bin magnitude-histogram feature). Compressed formats
-        (JPEG/PNG/MP3/…) still raise NotImplementedError — they need
-        codec libraries absent from this environment."""
+        """REAL decode for the formats this build can handle without an
+        external codec library: netpbm P5/P6, 24-bit BMP and PNG
+        (stdlib-zlib inflate + numpy unfiltering) images — 16-bin
+        luminance-histogram feature — and RIFF/WAVE PCM-16 audio
+        (16-bin magnitude-histogram feature). Formats needing an actual
+        codec (JPEG/MP3/H.264) still raise NotImplementedError."""
         if not payload:
             raise NotImplementedError("ref-only media row has no payload bytes")
-        if payload[:2] in (b"P6", b"P5", b"BM"):
+        if payload[:2] in (b"P6", b"P5", b"BM") or payload[:8] == _PNG_SIG:
             return _image_feature(_decode_image(payload))
         if payload[:4] == b"RIFF":
             return _audio_feature(_decode_wav_pcm16(payload))
         raise NotImplementedError(
-            "compressed media formats require codecs not present in this build"
+            "compressed media formats beyond PNG require codecs not in this build"
         )
 
     def _decode_fake_batch(self, refs, kinds) -> np.ndarray:
@@ -440,13 +571,16 @@ DECODE_REAL_SCHEMA = pa.schema(
 def media_decode_real(documents_ds, w: int = 16, h: int = 8,
                       batch_size: int = 64, concurrency=(1, 4)):
     """END-TO-END REAL-CODEC pipeline, oracle-checkable: each document
-    gets a deterministic P6 payload (pixel byte k = (doc_id·31 + k·7)
+    gets a deterministic payload (pixel byte k = (doc_id·31 + k·7)
     % 256 — a pure function of doc_id, so SQL can regenerate the exact
-    pixels), the actor-pool decoder runs the REAL netpbm parse +
-    luminance histogram (`MediaDecoder(use_stub=False)` — no fake
-    anywhere in this path), and the 16-bin feature is emitted long-form.
-    w·h = 128 keeps the hist/size division a power of two, hence exact
-    in float64 on both sides."""
+    pixels), CONTAINER-FORMAT-MIXED: even doc_ids ship as P6 netpbm,
+    odd as zlib-compressed PNG of the SAME pixels, so both real decoders
+    run under the driver gate while the histogram oracle — which depends
+    only on pixels — is unchanged. The actor-pool decoder runs the REAL
+    parse + luminance histogram (`MediaDecoder(use_stub=False)` — no
+    fake anywhere in this path), and the 16-bin feature is emitted
+    long-form. w·h = 128 keeps the hist/size division a power of two,
+    hence exact in float64 on both sides."""
     import pyarrow.compute as pc
 
     n_px = w * h * 3
@@ -455,10 +589,14 @@ def media_decode_real(documents_ds, w: int = 16, h: int = 8,
         ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
         k = np.arange(n_px, dtype=np.int64)
         header = b"P6\n%d %d\n255\n" % (w, h)
-        payloads = [
-            header + (((int(d) * 31 + k * 7) % 256).astype(np.uint8)).tobytes()
-            for d in ids
-        ]
+
+        def payload(d: int) -> bytes:
+            px = ((d * 31 + k * 7) % 256).astype(np.uint8)
+            if d % 2:
+                return _encode_png(px.reshape(h, w, 3))
+            return header + px.tobytes()
+
+        payloads = [payload(int(d)) for d in ids]
         return pa.Table.from_arrays(
             [
                 pa.array([str(int(d)) for d in ids], pa.string()),

@@ -1520,3 +1520,165 @@ class TestLineitemRollup:
         assert got.fillna("~").astype(str).equals(exp.fillna("~").astype(str))
         # 3×2 fine + 3 subtotals + 1 grand total
         assert len(got) == 10
+
+
+class TestPngCodec:
+    """Real PNG decode (stdlib zlib + numpy unfiltering) checked against
+    hand-filtered scanlines — the reference filterer below implements the
+    PNG spec independently of the decoder, so each of the five filter
+    types is verified byte-for-byte without an image library."""
+
+    @staticmethod
+    def _filter_rows(img, filter_types):
+        """Apply PNG filters (the ENCODER direction) per the spec."""
+        h, w = img.shape[:2]
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        body = img.reshape(h, w * ch).astype(np.int32)
+        out = []
+        prev = np.zeros(w * ch, np.int32)
+        for y, f in zip(range(h), filter_types):
+            cur = body[y]
+            line = np.empty(w * ch, np.int32)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                line[i] = (cur[i] - pred) % 256
+            out.append(bytes([f]) + bytes(line.astype(np.uint8)))
+            prev = cur
+        return b"".join(out)
+
+    @staticmethod
+    def _png(img, filter_types=None, ctype=None, interlace=0):
+        import zlib
+
+        h, w = img.shape[:2]
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        if ctype is None:
+            ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        if filter_types is None:
+            filter_types = [0] * h
+        raw = TestPngCodec._filter_rows(img, filter_types)
+
+        def chunk(typ, data):
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+            [8, ctype, 0, 0, interlace]
+        )
+        sig = b"\x89PNG\r\n\x1a\n"
+        return (
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_all_five_filters_round_trip(self):
+        from parser_rdf_ray.pipelines.multimodal import _decode_png
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (5, 9, 3), dtype=np.uint8)
+        data = self._png(img, filter_types=[0, 1, 2, 3, 4])
+        assert np.array_equal(_decode_png(data), img)
+
+    def test_encoder_decoder_round_trip(self):
+        from parser_rdf_ray.pipelines.multimodal import _decode_png, _encode_png
+
+        rng = np.random.RandomState(13)
+        rgb = rng.randint(0, 256, (7, 4, 3), dtype=np.uint8)
+        gray = rng.randint(0, 256, (6, 11), dtype=np.uint8)
+        assert np.array_equal(_decode_png(_encode_png(rgb)), rgb)
+        assert np.array_equal(_decode_png(_encode_png(gray)), gray)
+
+    def test_rgba_drops_alpha_and_gray_alpha_reduces(self):
+        from parser_rdf_ray.pipelines.multimodal import _decode_png
+
+        rng = np.random.RandomState(17)
+        rgba = rng.randint(0, 256, (4, 5, 4), dtype=np.uint8)
+        got = _decode_png(self._png(rgba, filter_types=[0, 1, 2, 4]))
+        assert np.array_equal(got, rgba[:, :, :3])
+        ga = rng.randint(0, 256, (3, 8, 2), dtype=np.uint8)
+        got = _decode_png(self._png(ga, filter_types=[4, 3, 1]))
+        assert np.array_equal(got, ga[:, :, 0])
+
+    def test_multiple_idat_chunks(self):
+        import zlib
+
+        from parser_rdf_ray.pipelines.multimodal import _decode_png
+
+        rng = np.random.RandomState(19)
+        img = rng.randint(0, 256, (3, 3, 3), dtype=np.uint8)
+        data = self._png(img)
+        # split the single IDAT into two chunks
+        sig_ihdr_len = 8 + 12 + 13
+        idat_len = int.from_bytes(data[sig_ihdr_len : sig_ihdr_len + 4], "big")
+        idat_body = data[sig_ihdr_len + 8 : sig_ihdr_len + 8 + idat_len]
+        half = len(idat_body) // 2
+
+        def chunk(typ, d):
+            return (
+                len(d).to_bytes(4, "big") + typ + d
+                + (zlib.crc32(typ + d) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        rebuilt = (
+            data[: sig_ihdr_len]
+            + chunk(b"IDAT", idat_body[:half])
+            + chunk(b"IDAT", idat_body[half:])
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(_decode_png(rebuilt), img)
+
+    def test_unsupported_variants_raise(self):
+        from parser_rdf_ray.pipelines.multimodal import _decode_png
+
+        img = np.zeros((2, 2, 3), np.uint8)
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            _decode_png(self._png(img, interlace=1))
+        with pytest.raises(NotImplementedError, match="color type"):
+            _decode_png(self._png(img, ctype=3))  # palette
+        with pytest.raises(ValueError, match="not a PNG"):
+            _decode_png(b"JUNK")
+
+    def test_decoder_stage_accepts_png(self, ray_session):
+        """PNG payloads flow through MediaDecoder.decode_real with the
+        same luminance feature as the equivalent PPM payload."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.multimodal import (
+            MediaDecoder,
+            _encode_png,
+            _image_feature,
+        )
+
+        rng = np.random.RandomState(23)
+        img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": ["1"],
+                "media_ref": ["m/0"],
+                "media_kind": ["image"],
+                "payload": [_encode_png(img)],
+            }
+        )
+        got = (
+            ray.data.from_arrow(tbl)
+            .map_batches(MediaDecoder(use_stub=False), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert got.decode_ok.tolist() == [True]
+        np.testing.assert_array_equal(np.array(got.feature[0]), _image_feature(img))
