@@ -187,6 +187,8 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "corpus_per_lang_sample",
         "corpus_pack_sequences",
         "rel_rollup",
+        "corpus_decontam",
+        "sketch_quantiles",
     ]
     import gc
 

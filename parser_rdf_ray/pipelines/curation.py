@@ -432,3 +432,149 @@ def pack_sequences(documents_ds, seq_len: int = 2048):
 
     out_refs = [pack_block.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+DECONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("contaminated", pa.bool_())])
+
+
+def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
+    """BENCHMARK DECONTAMINATION: flag every training document that
+    shares any word n-gram with the EVAL set — the standard
+    leakage check an LLM training pipeline runs against its benchmark
+    suites. Eval membership is the deterministic md5 gate
+    (md5-low64(doc_id) % 100 < eval_pct), so the op is self-contained
+    over one table and the SQL oracle can recompute it (the
+    cross_corpus_dedup convention); in production the eval side is the
+    benchmark corpus. Documents with fewer than n tokens have no grams
+    and are never contaminated.
+
+    Scale plan — gram-keyed sort-merge EXISTENCE join, no broadcast and
+    no smallness assumption on either side:
+    1. Gram construction is fully vectorized (polars extract_all tokens
+       → explode → shift(-1)/shift(-2) windows per doc — zero per-doc
+       Python), deduped per (doc, gram). Tokens match the SQL contract
+       string_split_regex(trim(text), '\\s+') exactly.
+    2. ONE gram sort co-partitions each gram's run (eval rows kind 0,
+       train rows kind 1); a vectorized run scan emits the train doc_ids
+       that hit an eval gram. Only (gram, doc_id) pairs shuffle — never
+       document text.
+    3. ONE doc_id sort existence-joins the hit set against all train
+       doc_ids (duplicate hits are harmless: the run scan tests
+       existence), yielding (doc_id, contaminated) for every train doc.
+    """
+    import numpy as np
+
+    from parser_rdf_ray.stages.groups import run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tune_data_context()
+    gram_schema = pa.schema(
+        [("gram", pa.string()), ("doc_id", pa.int64()), ("kind", pa.int8())]
+    )
+
+    def grams(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        is_eval = [
+            _md5_low64(str(i)) % 100 < eval_pct for i in ids.to_pylist()
+        ]
+        df = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(ids),
+                "kind": pl.Series(
+                    [0 if e else 1 for e in is_eval], dtype=pl.Int8
+                ),
+                "ts": pl.from_arrow(batch.column("text"))
+                .str.strip_chars()
+                .str.extract_all(r"\S+"),
+            }
+        )
+        ex = df.explode("ts")
+        shifts = [
+            pl.col("ts").shift(-k).over("doc_id").alias(f"_t{k}")
+            for k in range(1, n)
+        ]
+        gram_expr = pl.col("ts")
+        for k in range(1, n):
+            gram_expr = gram_expr + " " + pl.col(f"_t{k}")
+        ex = (
+            ex.with_columns(shifts)
+            .filter(
+                pl.col(f"_t{n - 1}").is_not_null()
+                if n > 1
+                else pl.col("ts").is_not_null()
+            )
+            .with_columns(gram_expr.alias("gram"))
+            .select(["gram", "doc_id", "kind"])
+            .unique()
+        )
+        out = ex.to_arrow()
+        return pa.Table.from_arrays(
+            [pc.cast(out.column(f.name), f.type) for f in gram_schema],
+            schema=gram_schema,
+        )
+
+    tagged = documents_ds.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    srt = tagged.sort("gram")
+    hit_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.int8())])
+
+    def hits_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return hit_schema.empty_table()
+        starts, _ = run_spans(batch, ["gram"])
+        kinds = batch.column("kind").to_numpy()
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        eval_in_run = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        hit = (kinds == 1) & eval_in_run[run_ids]
+        ids = pc.unique(batch.column("doc_id").filter(pa.array(hit)))
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.zeros(len(ids), dtype=np.int8))], schema=hit_schema
+        )
+
+    hits = srt.map_batches(
+        hits_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def train_ids(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        keep = pa.array(
+            [_md5_low64(str(i)) % 100 >= eval_pct for i in ids.to_pylist()]
+        )
+        ids = ids.filter(keep)
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.ones(len(ids), dtype=np.int8))], schema=hit_schema
+        )
+
+    docs = documents_ds.map_batches(
+        train_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hits.union(docs).sort("doc_id")
+
+    def verdict_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return DECONTAM_SCHEMA.empty_table()
+        starts, _ = run_spans(batch, ["doc_id"])
+        kinds = batch.column("kind").to_numpy()
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        hit_in_run = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        is_doc = kinds == 1
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").filter(pa.array(is_doc)),
+                pa.array(hit_in_run[run_ids][is_doc]),
+            ],
+            schema=DECONTAM_SCHEMA,
+        )
+
+    return joined.map_batches(
+        verdict_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -243,3 +243,85 @@ def heavy_hitters(documents_ds, d: int = 4, w: int = 1024, k: int = 10):
         local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return partial.sort(["est_count", "term"], descending=[True, False]).limit(k)
+
+
+QSKETCH_SCHEMA = pa.schema(
+    [("quantile", pa.float64()), ("est_price", pa.float64()), ("n_orders", pa.int64())]
+)
+
+
+def approx_quantiles_sketch(sf_dir: str, width_cents: int = 10_000,
+                            qs=(0.5, 0.9, 0.99)):
+    """APPROXIMATE quantiles via a fixed-width histogram sketch — the
+    scale path next to the exact rank-location quantiles
+    (relational.group_quantiles): the exchange carries only
+    (bucket, count) cells (domain/width buckets, not rows), so the sketch
+    size is independent of row count. Estimate = upper bound of the first
+    bucket whose cumulative count reaches ceil(q·n) — deterministic,
+    integer-exact arithmetic replayed verbatim by the SQL oracle, with
+    error bounded by the bucket width ($100 default on o_totalprice).
+    Per-block combiner: one polars group_by per block, then a
+    sketch-sized groupby(bucket).sum; the final cumulative scan runs in
+    one task over the tiny histogram."""
+    import numpy as np
+    import ray.data
+
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        df = pl.DataFrame({"b": pl.from_arrow(cents) // width_cents})
+        agg = df.group_by("b").agg(pl.len().alias("cnt"))
+        out = agg.to_arrow()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(out.column("b"), pa.int64()),
+                pc.cast(out.column("cnt"), pa.int64()),
+            ],
+            names=["b", "cnt"],
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .sum("cnt")
+    )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return QSKETCH_SCHEMA.empty_table()
+        b = batch.column("b").to_numpy()
+        cnt = batch.column("sum(cnt)").to_numpy()
+        order = np.argsort(b)
+        b, cnt = b[order], cnt[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        rows = []
+        for q in qs:
+            rank = int(np.ceil(q * n))
+            i = int(np.searchsorted(cum, rank))
+            # upper bound of the first bucket reaching the rank
+            rows.append((float(q), (int(b[i]) + 1) * width_cents / 100.0, n))
+        return pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.float64()),
+                pa.array([r[1] for r in rows], pa.float64()),
+                pa.array([r[2] for r in rows], pa.int64()),
+            ],
+            schema=QSKETCH_SCHEMA,
+        )
+
+    # the histogram is sketch-sized: one task sees it all
+    return hist.repartition(1).map_batches(
+        estimate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -1682,3 +1682,86 @@ class TestPngCodec:
         )
         assert got.decode_ok.tolist() == [True]
         np.testing.assert_array_equal(np.array(got.feature[0]), _image_feature(img))
+
+
+class TestDecontaminate:
+    def test_matches_independent_python(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import decontaminate
+
+        rng = np.random.RandomState(31)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, rng.randint(0, 12))) for _ in range(300)]
+        df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+        got = (
+            decontaminate(ray.data.from_pandas(df).repartition(8), eval_pct=20, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        def grams(t, n=3):
+            toks = t.strip().split()
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        is_eval = {i: _md5_low64(str(i)) % 100 < 20 for i in df.doc_id}
+        ev = set().union(*(grams(t) for i, t in zip(df.doc_id, df.text) if is_eval[i]))
+        exp = {
+            int(i): bool(grams(t) & ev)
+            for i, t in zip(df.doc_id, df.text)
+            if not is_eval[i]
+        }
+        assert got.doc_id.tolist() == sorted(exp)
+        assert got.contaminated.tolist() == [exp[i] for i in sorted(exp)]
+        # short docs (< n tokens) must be present and clean
+        shorts = [int(i) for i, t in zip(df.doc_id, df.text)
+                  if not is_eval[i] and len(t.split()) < 3]
+        assert shorts, "fixture must include short docs"
+        assert not got.set_index("doc_id").loc[shorts].contaminated.any()
+
+    def test_exact_duplicate_of_eval_doc_is_contaminated(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import decontaminate
+
+        # find one eval id and one train id under the md5 gate
+        ev = next(i for i in range(1000) if _md5_low64(str(i)) % 100 < 10)
+        tr = next(i for i in range(1000) if _md5_low64(str(i)) % 100 >= 10)
+        tr2 = next(
+            i for i in range(tr + 1, 2000) if _md5_low64(str(i)) % 100 >= 10
+        )
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([ev, tr, tr2], dtype=np.int64),
+                "text": ["the quick brown fox", "the quick brown fox", "nothing shared here at all"],
+            }
+        )
+        got = decontaminate(ray.data.from_pandas(df), eval_pct=10, n=3).to_pandas()
+        verdict = dict(zip(got.doc_id, got.contaminated))
+        assert verdict == {tr: True, tr2: False}
+
+
+class TestApproxQuantilesSketch:
+    def test_bucket_upper_bound_estimate(self, ray_session, tmp_path):
+        import duckdb
+
+        from parser_rdf_ray.pipelines.sketch import approx_quantiles_sketch
+
+        rng = np.random.RandomState(37)
+        prices = np.round(rng.uniform(1, 990, 4000) * 100) / 100
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame({"o_totalprice": prices}), preserve_index=False),
+            sf / "orders.parquet",
+        )
+        got = approx_quantiles_sketch(str(sf)).to_pandas().sort_values("quantile")
+        cents = np.sort(np.round(prices * 100).astype(np.int64))
+        for _, row in got.iterrows():
+            rank = int(np.ceil(row["quantile"] * len(cents)))
+            exact = cents[rank - 1] / 100.0
+            # estimate is the $100-bucket upper bound containing the value:
+            # within one bucket width above the exact quantile
+            assert exact <= row["est_price"] <= exact + 100.0
+            assert row["n_orders"] == len(cents)
