@@ -7,12 +7,14 @@ is real and tested. Codec status:
 - REAL (no external library): netpbm P5/P6 images, 24-bit uncompressed
   BMP, PNG (stdlib zlib inflate + numpy scanline unfiltering, all five
   filter types, gray/gray+alpha/RGB/RGBA — plus a filter-0 encoder),
-  and RIFF/WAVE PCM-16 audio — decode, luminance / energy histogram
-  features, and nearest-neighbor resize with P6 re-encode
-  (`_decode_image` / `_decode_png` / `_decode_wav_pcm16` /
-  `_nearest_resize`).
-- STUBBED: formats needing an actual codec (JPEG/MP3/H.264 …, plus
-  palette/16-bit/interlaced PNG) — `decode_real` raises
+  baseline JPEG (pipelines/jpegcodec.py: pure numpy+stdlib T.81
+  decoder — stream-supplied Huffman/quant tables, batched einsum IDCT,
+  4:4:4/4:2:2/4:2:0 — plus a 4:4:4 encoder for round trips), and
+  RIFF/WAVE PCM-16 audio — decode, luminance / energy histogram
+  features, and nearest-neighbor resize with P6 re-encode.
+- STUBBED: formats needing an actual codec (MP3/H.264/WebP …, plus
+  progressive/12-bit/arithmetic JPEG and palette/16-bit/interlaced
+  PNG) — `decode_real` raises
   NotImplementedError for those, and the clearly-marked deterministic
   fake remains the default for the driver corpus's ref-only (payload-
   less) media rows so the oracle contract is unchanged.
@@ -200,8 +202,13 @@ def _decode_image(data: bytes) -> np.ndarray:
         return _decode_bmp24(data)
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "compressed image formats beyond PNG require codecs not present in this build"
+        "image formats beyond netpbm/BMP/PNG/baseline-JPEG need codecs "
+        "not present in this build"
     )
 
 
@@ -316,14 +323,18 @@ class MediaDecoder:
 
     def decode_real(self, payload: bytes, kind: str) -> np.ndarray:
         """REAL decode for the formats this build can handle without an
-        external codec library: netpbm P5/P6, 24-bit BMP and PNG
-        (stdlib-zlib inflate + numpy unfiltering) images — 16-bin
-        luminance-histogram feature — and RIFF/WAVE PCM-16 audio
-        (16-bin magnitude-histogram feature). Formats needing an actual
-        codec (JPEG/MP3/H.264) still raise NotImplementedError."""
+        external codec library: netpbm P5/P6, 24-bit BMP, PNG
+        (stdlib-zlib inflate + numpy unfiltering) and baseline JPEG
+        (pure numpy+stdlib T.81) images — 16-bin luminance-histogram
+        feature — and RIFF/WAVE PCM-16 audio (16-bin magnitude-histogram
+        feature). Formats needing an actual codec (MP3/H.264,
+        progressive JPEG, …) still raise NotImplementedError."""
         if not payload:
             raise NotImplementedError("ref-only media row has no payload bytes")
-        if payload[:2] in (b"P6", b"P5", b"BM") or payload[:8] == _PNG_SIG:
+        if (
+            payload[:2] in (b"P6", b"P5", b"BM", b"\xff\xd8")
+            or payload[:8] == _PNG_SIG
+        ):
             return _image_feature(_decode_image(payload))
         if payload[:4] == b"RIFF":
             return _audio_feature(_decode_wav_pcm16(payload))

@@ -1765,3 +1765,191 @@ class TestApproxQuantilesSketch:
             # within one bucket width above the exact quantile
             assert exact <= row["est_price"] <= exact + 100.0
             assert row["n_orders"] == len(cents)
+
+
+class TestJpegCodec:
+    """Baseline JPEG (pure numpy + stdlib, pipelines/jpegcodec.py).
+    Verification is three-way independent: (1) a DC-only stream
+    hand-assembled byte-by-byte from the T.81 spec (no encoder involved)
+    must decode to the exact predicted constant; (2) encoder→decoder
+    round trips must equal an INDEPENDENT per-block
+    fdct→quant→dequant→idct prediction exactly; (3) lossy behavior is
+    sane (quality-monotone error, near-lossless smooth gradients)."""
+
+    def test_handcrafted_dc_only_gray(self):
+        from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg
+
+        # tables: 12 DC symbols at 4 bits (code == symbol); AC: EOB (0x00)
+        # as the single 2-bit code '00'
+        dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+        dc_vals = bytes(range(12))
+        ac_bits = bytes([0, 1] + [0] * 14)
+        ac_vals = bytes([0x00])
+        # quant table: all 16s, zigzag order (uniform, so order-invariant)
+        dqt = bytes([0]) + bytes([16] * 64)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
+            [1, 1, 0x11, 0]
+        )
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        # scan: DC category 3 (code 0011) + bits 100 (value +4), then EOB
+        # (code 00) -> 0011 100 00 + 1-padding = 0b00111000 0b01111111
+        scan = bytes([0b00111000, 0b01111111])
+        data = (
+            b"\xff\xd8"
+            + seg(0xDB, dqt)
+            + seg(0xC0, sof)
+            + seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+            + seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+            + seg(0xDA, sos)
+            + scan
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg(data)
+        # DC quantized 4 x qstep 16 = 64; IDCT of DC-only = 64/8 = 8;
+        # +128 level shift = 136 everywhere
+        assert got.shape == (8, 8)
+        assert np.array_equal(got, np.full((8, 8), 136, np.uint8))
+
+    def test_gray_matches_independent_prediction(self):
+        from parser_rdf_ray.pipelines.jpegcodec import (
+            _C,
+            _default_qtable,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(5)
+        g = rng.randint(0, 256, (24, 16), np.uint8)
+        dec = decode_jpeg(encode_jpeg(g, quality=75))
+        q = _default_qtable(75).astype(np.float64)
+        exp = np.zeros_like(g, np.float64)
+        for by in range(3):
+            for bx in range(2):
+                blk = g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128
+                fq = np.rint((_C @ blk @ _C.T) / q) * q
+                exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(_C.T @ fq @ _C + 128), 0, 255
+                )
+        assert np.array_equal(dec, exp.astype(np.uint8))
+
+    def test_rgb_lossy_sanity(self):
+        from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (17, 13, 3), np.uint8)  # non-x8 dims
+        d95 = decode_jpeg(encode_jpeg(img, quality=95)).astype(int)
+        d30 = decode_jpeg(encode_jpeg(img, quality=30)).astype(int)
+        assert d95.shape == img.shape
+        assert np.abs(d95 - img).mean() < np.abs(d30 - img).mean()
+        flat = np.full((8, 16, 3), (200, 30, 90), np.uint8)
+        got = decode_jpeg(encode_jpeg(flat, quality=90)).astype(int)
+        assert np.abs(got - flat.astype(int)).max() <= 1
+
+    def test_420_subsampled_constant_color(self):
+        """4:2:0 decode, hand-assembled MCU (4 Y + Cb + Cr blocks) —
+        constant color makes the result upsampling-filter-invariant."""
+        from parser_rdf_ray.pipelines.jpegcodec import (
+            _BitWriter,
+            _build_huffman,
+            decode_jpeg,
+        )
+
+        dc_bits = [0, 0, 0, 12] + [0] * 12
+        dc_vals = list(range(12))
+        ac_bits = [0, 1] + [0] * 14
+        ac_vals = [0x00]
+        _, dc_enc = _build_huffman(dc_bits, dc_vals)
+        _, ac_enc = _build_huffman(ac_bits, ac_vals)
+
+        def put_dc(wtr, diff):
+            s = int(abs(diff)).bit_length()
+            ln, code = dc_enc[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            ln, code = ac_enc[0x00]
+            wtr.write(code, ln)  # EOB
+
+        wtr = _BitWriter()
+        # MCU: 4 Y blocks (DC 8, then 3 zero diffs), Cb DC -6, Cr DC 10
+        put_dc(wtr, 8)
+        for _ in range(3):
+            put_dc(wtr, 0)
+        put_dc(wtr, -6)
+        put_dc(wtr, 10)
+        scan = wtr.flush()
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        dqt = bytes([0]) + bytes([16] * 64)
+        sof = (
+            bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        )
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+        data = (
+            b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof)
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xDA, sos) + scan + b"\xff\xd9"
+        )
+        got = decode_jpeg(data)
+        assert got.shape == (16, 16, 3)
+        # Y = 8*16/8+128 = 144, Cb = -6*16/8+128 = 116, Cr = 10*16/8+128 = 148
+        y, cb, cr = 144.0, 116.0, 148.0
+        exp = np.clip(
+            np.rint(
+                [
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.array_equal(got, np.broadcast_to(exp, (16, 16, 3)))
+
+    def test_unsupported_variants_raise(self):
+        from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = np.zeros((8, 8), np.uint8)
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            decode_jpeg(bytes(data))
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"JUNK")
+
+    def test_decoder_stage_accepts_jpeg(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg, encode_jpeg
+        from parser_rdf_ray.pipelines.multimodal import MediaDecoder, _image_feature
+
+        rng = np.random.RandomState(41)
+        img = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        payload = encode_jpeg(img, quality=90)
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": ["1"],
+                "media_ref": ["m/0"],
+                "media_kind": ["image"],
+                "payload": [payload],
+            }
+        )
+        got = (
+            ray.data.from_arrow(tbl)
+            .map_batches(MediaDecoder(use_stub=False), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert got.decode_ok.tolist() == [True]
+        np.testing.assert_array_equal(
+            np.array(got.feature[0]), _image_feature(decode_jpeg(payload))
+        )
