@@ -899,6 +899,12 @@ def _q_sketch_quantiles(sf_dir: str):
     return approx_quantiles_sketch(sf_dir)
 
 
+def _q_rel_cube(sf_dir: str):
+    from parser_rdf_ray.pipelines.relational import lineitem_rollup
+
+    return lineitem_rollup(sf_dir, mode="cube")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries (dict order).  Layout:
@@ -985,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_gaps": _q_rel_event_gaps,
         "rel_merge_join": _q_rel_merge_join,
         "rel_semi_join": _q_rel_semi_join,
+        "rel_cube": _q_rel_cube,
     }
 
 
@@ -1999,5 +2006,12 @@ FROM (VALUES (0.5), (0.9), (0.99)) v(q), tot t, cum
 WHERE cum.cum >= CAST(ceil(v.q * t.n) AS BIGINT)
 GROUP BY v.q, t.n
 """
+
+    sql["rel_cube"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+    )
 
     return sql

@@ -456,13 +456,17 @@ class MediaResizer:
         self.use_stub = use_stub  # real impl would load the codec here, once
 
     def resize_real(self, payload: bytes, out_w: int, out_h: int) -> tuple:
-        """REAL resize for uncompressed images (netpbm / 24-bit BMP):
-        pure-numpy nearest-neighbor index resize, re-encoded as P6 PPM.
-        Returns (src_w, src_h, encoded_bytes). Compressed formats raise
-        NotImplementedError (no codec libraries in this build)."""
+        """REAL resize for every decodable format (netpbm / BMP / PNG /
+        baseline JPEG): pure-numpy nearest-neighbor index resize.
+        COMPRESSED-IN → COMPRESSED-OUT: PNG and JPEG inputs re-encode as
+        (lossless) PNG via the real encoder; uncompressed inputs keep the
+        P6 re-encode. Returns (src_w, src_h, encoded_bytes)."""
         img = _decode_image(payload)
         src_h, src_w = img.shape[:2]
-        return src_w, src_h, _encode_ppm(_nearest_resize(img, out_h, out_w))
+        resized = _nearest_resize(img, out_h, out_w)
+        if payload[:8] == _PNG_SIG or payload[:2] == b"\xff\xd8":
+            return src_w, src_h, _encode_png(resized)
+        return src_w, src_h, _encode_ppm(resized)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {n: [] for n in RESIZE_SCHEMA.names}

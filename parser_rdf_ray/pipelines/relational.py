@@ -1624,10 +1624,11 @@ ROLLUP_SCHEMA = pa.schema(
 )
 
 
-def lineitem_rollup(sf_dir: str):
-    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the multi-level
-    subtotal aggregate (finest groups + per-returnflag subtotals + grand
-    total, rolled columns NULL — DuckDB ROLLUP semantics exactly).
+def lineitem_rollup(sf_dir: str, mode: str = "rollup"):
+    """GROUP BY ROLLUP / CUBE (l_returnflag, l_linestatus): the
+    multi-level subtotal aggregate (finest groups + per-returnflag
+    subtotals + grand total, rolled columns NULL — DuckDB semantics
+    exactly; mode="cube" adds the per-linestatus level).
 
     Scale plan: lineitem is scanned ONCE with a per-block polars combiner
     (int64 quantity units — l_quantity is integral in TPC-H, so the sum
@@ -1640,6 +1641,8 @@ def lineitem_rollup(sf_dir: str):
 
     from parser_rdf_ray.tuning import tune_data_context
 
+    if mode not in ("rollup", "cube"):
+        raise ValueError(f"mode must be 'rollup' or 'cube', got {mode!r}")
     tune_data_context()
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1694,7 +1697,16 @@ def lineitem_rollup(sf_dir: str):
             pl.col("sum_qty").sum(),
             pl.col("n_rows").sum(),
         )
-        out = pl.concat([fine, per_flag, grand]).to_arrow()
+        levels_out = [fine, per_flag, grand]
+        if mode == "cube":
+            per_status = (
+                df.group_by("l_linestatus")
+                .agg(pl.col("sum_qty").sum(), pl.col("n_rows").sum())
+                .with_columns(pl.lit(None, pl.String).alias("l_returnflag"))
+                .select(["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+            )
+            levels_out.insert(2, per_status)
+        out = pl.concat(levels_out).to_arrow()
         return pa.Table.from_arrays(
             [pc.cast(out.column(f.name), f.type) for f in ROLLUP_SCHEMA],
             schema=ROLLUP_SCHEMA,

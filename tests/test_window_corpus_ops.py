@@ -1953,3 +1953,28 @@ class TestJpegCodec:
         np.testing.assert_array_equal(
             np.array(got.feature[0]), _image_feature(decode_jpeg(payload))
         )
+
+
+class TestResizeCompressedFormats:
+    def test_png_and_jpeg_inputs_reencode_as_png(self):
+        from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg, encode_jpeg
+        from parser_rdf_ray.pipelines.multimodal import (
+            MediaResizer,
+            _decode_png,
+            _encode_png,
+            _nearest_resize,
+        )
+
+        rng = np.random.RandomState(43)
+        img = rng.randint(0, 256, (12, 10, 3), np.uint8)
+        rs = MediaResizer(out_w=5, out_h=6, use_stub=False)
+        # PNG in -> lossless PNG out of the nearest-resized pixels
+        sw, sh, data = rs.resize_real(_encode_png(img), 5, 6)
+        assert (sw, sh) == (10, 12)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(_decode_png(data), _nearest_resize(img, 6, 5))
+        # JPEG in -> PNG out of the resized DECODED pixels
+        jp = encode_jpeg(img, quality=90)
+        sw, sh, data = rs.resize_real(jp, 5, 6)
+        assert (sw, sh) == (10, 12)
+        assert np.array_equal(_decode_png(data), _nearest_resize(decode_jpeg(jp), 6, 5))
