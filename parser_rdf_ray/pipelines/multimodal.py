@@ -9,8 +9,9 @@ is real and tested. Codec status:
   filter types, gray/gray+alpha/RGB/RGBA — plus a filter-0 encoder),
   baseline JPEG (pipelines/jpegcodec.py: pure numpy+stdlib T.81
   decoder — stream-supplied Huffman/quant tables, batched einsum IDCT,
-  4:4:4/4:2:2/4:2:0 — plus a 4:4:4 encoder for round trips), and
-  RIFF/WAVE PCM-16 audio — decode, luminance / energy histogram
+  4:4:4/4:2:2/4:2:0 — plus a 4:4:4 encoder for round trips), GIF
+  (pipelines/gifcodec.py: LZW + interlace, first frame; palettized
+  encoder), and RIFF/WAVE PCM-16 audio — decode, luminance / energy histogram
   features, and nearest-neighbor resize with P6 re-encode.
 - STUBBED: formats needing an actual codec (MP3/H.264/WebP …, plus
   progressive/12-bit/arithmetic JPEG and palette/16-bit/interlaced
@@ -206,6 +207,10 @@ def _decode_image(data: bytes) -> np.ndarray:
         from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from parser_rdf_ray.pipelines.gifcodec import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         "image formats beyond netpbm/BMP/PNG/baseline-JPEG need codecs "
         "not present in this build"
@@ -334,6 +339,7 @@ class MediaDecoder:
         if (
             payload[:2] in (b"P6", b"P5", b"BM", b"\xff\xd8")
             or payload[:8] == _PNG_SIG
+            or payload[:6] in (b"GIF87a", b"GIF89a")
         ):
             return _image_feature(_decode_image(payload))
         if payload[:4] == b"RIFF":

@@ -1978,3 +1978,92 @@ class TestResizeCompressedFormats:
         sw, sh, data = rs.resize_real(jp, 5, 6)
         assert (sw, sh) == (10, 12)
         assert np.array_equal(_decode_png(data), _nearest_resize(decode_jpeg(jp), 6, 5))
+
+
+class TestGifCodec:
+    def test_round_trip_with_dictionary_growth(self):
+        from parser_rdf_ray.pipelines.gifcodec import decode_gif, encode_gif
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 6, (23, 17, 3), dtype=np.uint8) * 40
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+        # 200 colors -> wide codes; random pattern forces LZW resets
+        palette = rng.randint(0, 256, (200, 3)).astype(np.uint8)
+        img2 = palette[rng.randint(0, 200, (40, 40))]
+        assert np.array_equal(decode_gif(encode_gif(img2)), img2)
+
+    def test_extensions_are_skipped(self):
+        from parser_rdf_ray.pipelines.gifcodec import decode_gif, encode_gif
+
+        img = np.zeros((3, 4, 3), np.uint8)
+        img[1, 2] = 200
+        data = bytearray(encode_gif(img))
+        # splice a graphic-control extension right before the image block
+        i = data.index(0x2C, 13)
+        gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        data[i:i] = gce
+        assert np.array_equal(decode_gif(bytes(data)), img)
+
+    def test_interlaced_decode(self):
+        """Hand-assemble an interlaced GIF: rows stored in the 4-pass
+        order, interlace flag set; the decoder must reorder them back."""
+        from parser_rdf_ray.pipelines.gifcodec import _lzw_encode, decode_gif
+
+        rng = np.random.RandomState(9)
+        h, w = 11, 5
+        idx = rng.randint(0, 4, (h, w), dtype=np.uint8)
+        palette = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+        )
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        stored = idx[order]  # pass-ordered rows
+        lzw = _lzw_encode(2, bytes(stored.ravel()))
+        out = bytearray(b"GIF89a")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x80 | 1, 0, 0])  # global table, 4 entries
+        out += palette.tobytes()
+        out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x40])  # interlaced, no local table
+        out += bytes([2])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        assert np.array_equal(decode_gif(bytes(out)), palette[idx])
+
+    def test_too_many_colors_and_junk_raise(self):
+        from parser_rdf_ray.pipelines.gifcodec import decode_gif, encode_gif
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1000 colors
+        with pytest.raises(ValueError, match="256"):
+            encode_gif(img)
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"JUNK")
+
+    def test_media_stage_accepts_gif(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.gifcodec import encode_gif
+        from parser_rdf_ray.pipelines.multimodal import MediaDecoder, _image_feature
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[::2] = (250, 10, 10)
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": ["1"],
+                "media_ref": ["m/0"],
+                "media_kind": ["image"],
+                "payload": [encode_gif(img)],
+            }
+        )
+        got = (
+            ray.data.from_arrow(tbl)
+            .map_batches(MediaDecoder(use_stub=False), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert got.decode_ok.tolist() == [True]
+        np.testing.assert_array_equal(np.array(got.feature[0]), _image_feature(img))
