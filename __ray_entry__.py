@@ -905,6 +905,12 @@ def _q_rel_cube(sf_dir: str):
     return lineitem_rollup(sf_dir, mode="cube")
 
 
+def _q_corpus_training_set(sf_dir: str):
+    from parser_rdf_ray.pipelines.curation import training_set
+
+    return training_set(_flat_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries (dict order).  Layout:
@@ -939,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": _q_rel_rollup,
         "corpus_decontam": _q_corpus_decontam,
         "sketch_quantiles": _q_sketch_quantiles,
+        "corpus_training_set": _q_corpus_training_set,
         # --- family representatives, driver-green in r03 ---
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -963,13 +970,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_centroids": _q_embedding_centroids,
-        "media_features": _q_media_features,
         "rel_lineitem_agg": _q_rel_lineitem_agg,
         "rel_topk_per_group": _q_rel_topk_per_group,
         "rel_asof_join": _q_rel_asof_join,
         "rel_range_join": _q_rel_range_join,
         "rel_left_join": _q_rel_left_join,
         # --- past the 50-entry gate: cousins, all driver-green in r03 ---
+        "media_features": _q_media_features,
         "kg_degree": _q_kg_degree,
         "rel_sessions": _q_rel_sessions,
         "kg_resolved": _q_kg_resolved,
@@ -2013,5 +2020,81 @@ GROUP BY v.q, t.n
         "CAST(COUNT(*) AS BIGINT) AS n_rows "
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
     )
+
+    # THE COMPOSITE: curation keep-set ∘ decontamination ∘ split ∘
+    # packing — each fragment verbatim from its standalone oracle
+    sql["corpus_training_set"] = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        / greatest(length(text), 1) >= 0.6
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+  FROM q
+),
+gram_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+              WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+              ELSE [''] END AS gl
+  FROM toks
+),
+gs AS (SELECT doc_id, list_distinct(gl) AS g FROM gram_lists),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) * 1.0
+        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+),
+edges AS (SELECT doc_a, doc_b FROM prs UNION ALL SELECT doc_b, doc_a FROM prs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM q
+  UNION
+  SELECT e.doc_b, reach.r FROM reach JOIN edges e ON e.doc_a = reach.doc_id
+),
+reps AS (SELECT doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc_id),
+kept AS (SELECT doc_id FROM reps WHERE cluster_rep = doc_id),
+dt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10 AS is_eval
+  FROM documents
+),
+dg AS (
+  SELECT doc_id, is_eval,
+         array_to_string(ts[i.r : i.r + 2], ' ') AS gram
+  FROM dt, LATERAL (SELECT unnest(range(1, len(ts) - 3 + 2)) AS r) i
+  WHERE len(ts) >= 3
+),
+ev AS (SELECT DISTINCT gram FROM dg WHERE is_eval),
+hit AS (SELECT DISTINCT doc_id FROM dg
+        WHERE NOT is_eval AND gram IN (SELECT gram FROM ev)),
+final AS (
+  SELECT k.doc_id FROM kept k
+  WHERE md5_number_lower(CAST(k.doc_id AS VARCHAR)) % 100 >= 10
+    AND k.doc_id NOT IN (SELECT doc_id FROM hit)
+),
+ft AS (
+  SELECT d.doc_id,
+         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+         CASE WHEN md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 100 < 90
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents d JOIN final USING (doc_id)
+),
+cpre AS (
+  SELECT doc_id, n_tokens, split,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM ft
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 2048 AS BIGINT) AS first_seq,
+       CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+       split
+FROM cpre
+"""
 
     return sql

@@ -189,6 +189,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "rel_rollup",
         "corpus_decontam",
         "sketch_quantiles",
+        "corpus_training_set",
     ]
     import gc
 

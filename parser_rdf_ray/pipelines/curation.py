@@ -349,6 +349,68 @@ PACK_SCHEMA = pa.schema(
 )
 
 
+def pack_token_counts(counts_ds, seq_len: int, extra_cols: tuple = ()):
+    """The packing core over a (doc_id, n_tokens[, extra...]) dataset:
+    ONE doc_id sort range-partitions the stream; each block's token total
+    (one int64) ships to the driver, which prefix-sums blocks×1 values
+    into per-block starting offsets; a second pass over the pinned block
+    refs assigns per-doc offsets with a numpy exclusive cumsum plus the
+    block offset (the dense-rank two-pass shape — data moves once).
+    ``extra_cols`` pass through unchanged (e.g. the split label)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.tuning import tune_data_context
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    tune_data_context()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("start_tok", pa.int64()),
+         ("first_seq", pa.int64()), ("last_seq", pa.int64())]
+        + [(c, pa.string()) for c in extra_cols]
+    )
+    srt = counts_ds.sort("doc_id").materialize()
+    refs = [
+        br for bundle in srt.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+    @ray.remote
+    def block_total(block: pa.Table) -> int:
+        if block.num_rows == 0:
+            return 0
+        return int(pc.sum(block.column("n_tokens")).as_py())
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def pack_block(block: pa.Table, offset: int):
+        if block.num_rows == 0:
+            return schema.empty_table()
+        n = block.column("n_tokens").to_numpy()
+        start = offset + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        # n_tokens >= 1 always under the whitespace contract (trim+split
+        # of '' yields ['']), so (start + n - 1) is the doc's last token
+        first_seq = start // seq_len
+        last_seq = (start + n - 1) // seq_len
+        return pa.Table.from_arrays(
+            [
+                pc.cast(block.column("doc_id"), pa.int64()),
+                pa.array(n, pa.int64()),
+                pa.array(start, pa.int64()),
+                pa.array(first_seq, pa.int64()),
+                pa.array(last_seq, pa.int64()),
+            ]
+            + [pc.cast(block.column(c), pa.string()) for c in extra_cols],
+            schema=schema,
+        )
+
+    out_refs = [pack_block.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def pack_sequences(documents_ds, seq_len: int = 2048):
     """SEQUENCE PACKING (concat-and-chunk): the pretraining-data step
     that concatenates documents in doc_id order into one token stream and
@@ -358,25 +420,9 @@ def pack_sequences(documents_ds, seq_len: int = 2048):
     standard GPT-style packing; sequences are seq_len tokens, no padding).
     Token counts use the shared whitespace contract (pipelines/text.
     n_tokens_of == DuckDB len(string_split_regex(trim(text),'\\s+'))), so
-    the whole op is SQL-replayable with one SUM() OVER window.
-
-    Scale plan (the dense-rank two-pass shape): counts are one pruned
-    vectorized pass; ONE doc_id sort range-partitions the stream; each
-    block's TOKEN TOTAL (a single int64) ships to the driver, which
-    prefix-sums blocks×1 values into per-block starting offsets; a
-    second pass over the pinned block refs assigns per-doc offsets with
-    a numpy exclusive cumsum plus the block offset. Data moves once; the
-    cross-block prefix is the one thing Ray Data alone cannot express
-    (same raw-ref tail as dense_rank_customers)."""
-    import numpy as np
-    import ray
-
+    the whole op is SQL-replayable with one SUM() OVER window. See
+    pack_token_counts for the two-pass scale plan."""
     from parser_rdf_ray.pipelines.text import n_tokens_of
-    from parser_rdf_ray.tuning import tune_data_context
-
-    if seq_len <= 0:
-        raise ValueError(f"seq_len must be positive, got {seq_len}")
-    tune_data_context()
 
     def counts(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -387,51 +433,10 @@ def pack_sequences(documents_ds, seq_len: int = 2048):
             names=["doc_id", "n_tokens"],
         )
 
-    srt = (
-        documents_ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("doc_id")
-        .materialize()
+    return pack_token_counts(
+        documents_ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        seq_len,
     )
-    refs = [
-        br for bundle in srt.iter_internal_ref_bundles() for br in bundle.block_refs
-    ]
-
-    @ray.remote
-    def block_total(block: pa.Table) -> int:
-        if block.num_rows == 0:
-            return 0
-        return int(
-            pc.sum(block.column("n_tokens")).as_py()
-        )
-
-    totals = ray.get([block_total.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
-
-    @ray.remote
-    def pack_block(block: pa.Table, offset: int):
-        if block.num_rows == 0:
-            return PACK_SCHEMA.empty_table()
-        n = block.column("n_tokens").to_numpy()
-        start = offset + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
-        # n_tokens >= 1 always (trim+split of '' yields ['']), so
-        # (start + n - 1) is the doc's last token index
-        first_seq = start // seq_len
-        last_seq = (start + n - 1) // seq_len
-        return pa.Table.from_arrays(
-            [
-                block.column("doc_id"),
-                pa.array(n, pa.int64()),
-                pa.array(start, pa.int64()),
-                pa.array(first_seq, pa.int64()),
-                pa.array(last_seq, pa.int64()),
-            ],
-            schema=PACK_SCHEMA,
-        )
-
-    import ray.data
-
-    out_refs = [pack_block.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
-    return ray.data.from_arrow_refs(out_refs)
 
 
 DECONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("contaminated", pa.bool_())])
@@ -578,3 +583,146 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
     return joined.map_batches(
         verdict_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def training_set(
+    documents_ds,
+    min_tokens: int = 20,
+    min_alpha: float = 0.6,
+    threshold: float = 0.8,
+    eval_pct: int = 10,
+    n_gram: int = 3,
+    train_pct: int = 90,
+    seq_len: int = 2048,
+):
+    """THE END-TO-END TRAINING-SET BUILD — the deliverable all the corpus
+    operators exist for, composed into one pipeline: quality gate →
+    near-duplicate cluster representatives (curation_core) → eval-set
+    removal + benchmark decontamination (decontaminate) → deterministic
+    train/val hash split (split_values) → sequence packing
+    (pack_token_counts). Returns one row per surviving document:
+    (doc_id, n_tokens, start_tok, first_seq, last_seq, split).
+
+    Composition stays shuffle-lean: the keep-set, the clean-set and the
+    document token counts meet through tagged-union sorted-run existence
+    scans (doc_id sorts of id-sized rows — text never re-shuffles), and
+    packing is the two-pass prefix over the final counts. Every stage's
+    contract is the one its standalone operator pins, so the composite's
+    SQL oracle is the composition of their oracle fragments."""
+    import numpy as np
+
+    from parser_rdf_ray.pipelines.text import n_tokens_of
+    from parser_rdf_ray.stages.groups import run_spans
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    _, kept = curation_core(documents_ds, min_tokens, min_alpha, threshold)
+    verdict = decontaminate(documents_ds, eval_pct, n_gram)
+
+    pair_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.int8())])
+
+    def tag_kept(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.zeros(len(ids), dtype=np.int8))], schema=pair_schema
+        )
+
+    def tag_clean(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("contaminated"), pa.scalar(False))
+        ids = pc.cast(b.column("doc_id").filter(keep), pa.int64())
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.ones(len(ids), dtype=np.int8))], schema=pair_schema
+        )
+
+    tagged = kept.map_batches(
+        tag_kept, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        verdict.map_batches(tag_clean, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    srt = tagged.sort("doc_id")
+    id_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.int8())])
+
+    def intersect_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return id_schema.empty_table()
+        starts, _ = run_spans(batch, ["doc_id"])
+        kinds = batch.column("kind").to_numpy()
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        has0 = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        has1 = np.add.reduceat((kinds == 1).astype(np.int64), starts) > 0
+        both = has0 & has1
+        emit = (kinds == 0) & both[run_ids]  # one row per doc (sides distinct)
+        ids = batch.column("doc_id").filter(pa.array(emit))
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.zeros(len(ids), dtype=np.int8))], schema=id_schema
+        )
+
+    final_ids = srt.map_batches(
+        intersect_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    counts_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("split", pa.string()), ("kind", pa.int8())]
+    )
+
+    def tag_doc_counts(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        n = len(b)
+        return pa.Table.from_arrays(
+            [
+                ids,
+                n_tokens_of(b.column("text")),
+                split_values(ids.to_pylist(), train_pct),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            schema=counts_schema,
+        )
+
+    def tag_final(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                ids,
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.string()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            schema=counts_schema,
+        )
+
+    joined = final_ids.map_batches(
+        tag_final, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        documents_ds.map_batches(
+            tag_doc_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    jsrt = joined.sort("doc_id")
+    out_counts = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("split", pa.string())]
+    )
+
+    def semi_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_counts.empty_table()
+        starts, _ = run_spans(batch, ["doc_id"])
+        kinds = batch.column("kind").to_numpy()
+        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
+        run_marks[starts] = 1
+        run_ids = np.cumsum(run_marks) - 1
+        wanted = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        emit = (kinds == 1) & wanted[run_ids]
+        rows = batch.filter(pa.array(emit))
+        return pa.Table.from_arrays(
+            [rows.column("doc_id"), rows.column("n_tokens"), rows.column("split")],
+            schema=out_counts,
+        )
+
+    counts = jsrt.map_batches(
+        semi_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pack_token_counts(counts, seq_len, extra_cols=("split",))
