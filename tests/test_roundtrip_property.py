@@ -179,3 +179,76 @@ def test_run_spans_partitions_sorted_keys(keys):
         assert len({keys[i] for i in range(s, e)}) == 1
     for i in range(len(starts) - 1):
         assert keys[starts[i]] != keys[starts[i + 1]]
+
+
+# --- media codec round-trip properties --------------------------------------
+
+import numpy as np  # noqa: E402
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([0, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(h, w, ch, seed):
+    from parser_rdf_ray.pipelines.multimodal import _decode_png, _encode_png
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 0 else (h, w, 3)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(_decode_png(_encode_png(img)), img)
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ncolors=st.integers(1, 64),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(h, w, ncolors, seed):
+    from parser_rdf_ray.pipelines.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+    img = palette[rng.randint(0, ncolors, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@given(
+    bh=st.integers(1, 3),
+    bw=st.integers(1, 3),
+    quality=st.integers(10, 95),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_gray_matches_spec_math_property(bh, bw, quality, seed):
+    """Decoded gray JPEG must equal the independent per-block
+    fdct → quant → dequant → idct prediction to within 1 — the decoder's
+    batched einsum and the reference's matmul sum in different orders,
+    so a value landing exactly on a .5 rounding boundary can flip by one
+    (T.81 itself only bounds IDCT mismatch, Annex A). Any entropy-coding
+    or table bug would diverge by far more than 1."""
+    from parser_rdf_ray.pipelines.jpegcodec import (
+        _C,
+        _default_qtable,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 256, (bh * 8, bw * 8), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=quality))
+    q = _default_qtable(quality).astype(np.float64)
+    exp = np.zeros_like(g, np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128
+            fq = np.rint((_C @ blk @ _C.T) / q) * q
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(_C.T @ fq @ _C + 128), 0, 255
+            )
+    assert np.abs(dec.astype(np.int64) - exp.astype(np.int64)).max() <= 1
