@@ -227,11 +227,14 @@ def test_gif_roundtrip_property(h, w, ncolors, seed):
 @settings(max_examples=40, deadline=None)
 def test_jpeg_gray_matches_spec_math_property(bh, bw, quality, seed):
     """Decoded gray JPEG must equal the independent per-block
-    fdct → quant → dequant → idct prediction to within 1 — the decoder's
-    batched einsum and the reference's matmul sum in different orders,
-    so a value landing exactly on a .5 rounding boundary can flip by one
-    (T.81 itself only bounds IDCT mismatch, Annex A). Any entropy-coding
-    or table bug would diverge by far more than 1."""
+    fdct → quant → dequant → idct prediction bit-for-bit — except when a
+    DCT coefficient lands numerically ON a .5 quantization boundary
+    (or a spatial value on a .5 pixel boundary), where the encoder's
+    batched einsum and the reference's matmul can legitimately round
+    opposite ways (float summation order); hypothesis.assume skips those
+    measure-zero inputs so the equality stays exact everywhere else."""
+    from hypothesis import assume
+
     from parser_rdf_ray.pipelines.jpegcodec import (
         _C,
         _default_qtable,
@@ -241,14 +244,17 @@ def test_jpeg_gray_matches_spec_math_property(bh, bw, quality, seed):
 
     rng = np.random.RandomState(seed)
     g = rng.randint(0, 256, (bh * 8, bw * 8), dtype=np.uint8)
-    dec = decode_jpeg(encode_jpeg(g, quality=quality))
     q = _default_qtable(quality).astype(np.float64)
     exp = np.zeros_like(g, np.float64)
     for by in range(bh):
         for bx in range(bw):
             blk = g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128
-            fq = np.rint((_C @ blk @ _C.T) / q) * q
+            ratio = (_C @ blk @ _C.T) / q
+            assume(np.abs(ratio - np.rint(ratio)).max() < 0.5 - 1e-6)
+            spatial = _C.T @ (np.rint(ratio) * q) @ _C + 128
+            assume(np.abs(spatial - np.rint(spatial)).max() < 0.5 - 1e-6)
             exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(_C.T @ fq @ _C + 128), 0, 255
+                np.rint(spatial), 0, 255
             )
-    assert np.abs(dec.astype(np.int64) - exp.astype(np.int64)).max() <= 1
+    dec = decode_jpeg(encode_jpeg(g, quality=quality))
+    assert np.array_equal(dec, exp.astype(np.uint8))
