@@ -462,7 +462,12 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
     2. ONE gram sort co-partitions each gram's run (eval rows kind 0,
        train rows kind 1); a vectorized run scan emits the train doc_ids
        that hit an eval gram. Only (gram, doc_id) pairs shuffle — never
-       document text.
+       document text. SKEW NOTE: a gram appearing in many documents is
+       one run in one partition (the co-partition guarantee cuts both
+       ways). At n=3 (the oracle-sized default) stop-gram runs can be
+       large; production decontamination uses n of 8-13, where shared
+       grams are rare by construction — pick n to the corpus, the
+       partition bound is max-df × 16 bytes per gram.
     3. ONE doc_id sort existence-joins the hit set against all train
        doc_ids (duplicate hits are harmless: the run scan tests
        existence), yielding (doc_id, contaminated) for every train doc.
