@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from parser_rdf_ray.pipelines._codec_guard import check_dims, malformed_guard
+
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
@@ -74,8 +76,10 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+@malformed_guard("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
-    """GIF → uint8 (h, w, 3) RGB of the first image frame."""
+    """GIF → uint8 (h, w, 3) RGB of the first image frame. Malformed
+    payloads raise ValueError (pipelines/_codec_guard contract)."""
     if data[:6] not in _GIF_SIGS:
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(data[6:8], "little")
@@ -98,6 +102,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         elif b == 0x2C:  # image descriptor
             w = int.from_bytes(data[pos + 5 : pos + 7], "little")
             h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            check_dims(w, h, "GIF")
             iflags = data[pos + 9]
             pos += 10
             table = global_table

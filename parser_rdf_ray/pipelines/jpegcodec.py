@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from parser_rdf_ray.pipelines._codec_guard import check_dims, malformed_guard
+
 
 def _zigzag_order() -> np.ndarray:
     """The spec's zigzag scan as flat 8×8 indices, generated from the
@@ -129,8 +131,10 @@ def _extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
 
 
+@malformed_guard("JPEG")
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → uint8 (h, w) gray or (h, w, 3) RGB."""
+    """Baseline JPEG → uint8 (h, w) gray or (h, w, 3) RGB. Malformed
+    payloads raise ValueError (pipelines/_codec_guard contract)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -147,6 +151,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2:
+            raise ValueError("JPEG segment length below header size")
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -173,6 +179,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit JPEG precision")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            check_dims(w, h, "JPEG")
             ncomp = body[5]
             comps = []
             for c in range(ncomp):

@@ -32,7 +32,10 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from parser_rdf_ray.pipelines._codec_guard import check_dims, malformed_guard
 
+
+@malformed_guard("netpbm")
 def _decode_netpbm(data: bytes) -> np.ndarray:
     """P6 (RGB) / P5 (gray) binary netpbm → uint8 array (h, w[, 3])."""
     import re
@@ -41,6 +44,7 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
     if not m:
         raise ValueError("not a binary netpbm payload")
     magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    check_dims(w, h, "netpbm")
     if maxval != 255:
         raise ValueError("only maxval=255 netpbm supported")
     body = data[m.end():]
@@ -51,6 +55,7 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
 
 
+@malformed_guard("BMP")
 def _decode_bmp24(data: bytes) -> np.ndarray:
     """Uncompressed 24-bit BI_RGB BMP → uint8 (h, w, 3) RGB (rows are
     stored bottom-up, 4-byte padded; we flip to top-down)."""
@@ -63,6 +68,7 @@ def _decode_bmp24(data: bytes) -> np.ndarray:
     comp = int.from_bytes(data[30:34], "little")
     if bpp != 24 or comp != 0:
         raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    check_dims(w, abs(h) or 1, "BMP")
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(data[off : off + stride * abs(h)], dtype=np.uint8)
     rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
@@ -73,6 +79,7 @@ def _decode_bmp24(data: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+@malformed_guard("PNG")
 def _decode_png(data: bytes) -> np.ndarray:
     """REAL PNG decode using only stdlib zlib + numpy (no codec library):
     8-bit gray / gray+alpha / RGB / RGBA, non-interlaced. Scanline
@@ -103,6 +110,7 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR/IDAT")
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
+    check_dims(w, h, "PNG")
     depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
     if depth != 8:
         raise NotImplementedError("only 8-bit-per-channel PNG supported")
@@ -217,6 +225,7 @@ def _decode_image(data: bytes) -> np.ndarray:
     )
 
 
+@malformed_guard("WAVE")
 def _decode_wav_pcm16(data: bytes) -> np.ndarray:
     """RIFF/WAVE PCM-16 → int16 sample array (channels interleaved)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -490,7 +499,14 @@ class MediaResizer:
             if kind != "image":
                 continue
             if not self.use_stub and payload:
-                src_w, src_h, data = self.resize_real(payload, self.out_w, self.out_h)
+                try:
+                    src_w, src_h, data = self.resize_real(
+                        payload, self.out_w, self.out_h
+                    )
+                except (NotImplementedError, ValueError):
+                    # malformed / unsupported payload: emit a zero-dims
+                    # marker row rather than failing the whole batch
+                    src_w, src_h, data = 0, 0, b""
             else:
                 # deterministic fake source dims (SQL-derivable): the media
                 # index i is the ref suffix

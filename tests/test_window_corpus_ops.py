@@ -2067,3 +2067,83 @@ class TestGifCodec:
         )
         assert got.decode_ok.tolist() == [True]
         np.testing.assert_array_equal(np.array(got.feature[0]), _image_feature(img))
+
+
+class TestCodecMalformedContract:
+    """Every image decoder must raise ValueError / NotImplementedError on
+    malformed payloads — never IndexError/KeyError/zlib.error (which
+    would fail the whole Ray batch on a scraped corpus). Mutation fuzz
+    originally surfaced 20 escaping exception classes across the three
+    compressed decoders; pipelines/_codec_guard normalizes them."""
+
+    def _fuzz(self, decode, base, trials=400, seed=7):
+        rng = np.random.RandomState(seed)
+        for _ in range(trials):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                op = rng.randint(3)
+                if op == 0 and len(b) > 1:
+                    b[rng.randint(len(b))] = rng.randint(256)
+                elif op == 1 and len(b) > 4:
+                    del b[rng.randint(len(b))]
+                else:
+                    b.insert(rng.randint(len(b)), rng.randint(256))
+            try:
+                decode(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+            # anything else propagates and fails the test
+
+    def test_jpeg_png_gif_mutation_fuzz(self):
+        from parser_rdf_ray.pipelines.gifcodec import decode_gif, encode_gif
+        from parser_rdf_ray.pipelines.jpegcodec import decode_jpeg, encode_jpeg
+        from parser_rdf_ray.pipelines.multimodal import _decode_png, _encode_png
+
+        rng = np.random.RandomState(31)
+        img = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        self._fuzz(decode_jpeg, encode_jpeg(img))
+        self._fuzz(_decode_png, _encode_png(img))
+        self._fuzz(decode_gif, encode_gif(pal[rng.randint(0, 16, (8, 8))]))
+
+    def test_allocation_bombs_rejected(self):
+        """Mutated headers declaring absurd dimensions must raise, not
+        allocate."""
+        from parser_rdf_ray.pipelines.multimodal import _decode_netpbm, _decode_png
+
+        with pytest.raises(ValueError, match="implausible"):
+            _decode_netpbm(b"P6\n60000 60000\n255\n" + b"\x00" * 10)
+        # PNG IHDR with 2^30 x 2^30
+        import zlib
+
+        def chunk(typ, d):
+            return (
+                len(d).to_bytes(4, "big") + typ + d
+                + (zlib.crc32(typ + d) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        ihdr = (1 << 30).to_bytes(4, "big") * 2 + bytes([8, 2, 0, 0, 0])
+        data = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="implausible"):
+            _decode_png(data)
+
+    def test_resizer_survives_malformed_payload(self, ray_session):
+        """A malformed real payload yields a zero-dims marker row instead
+        of failing the batch."""
+        from parser_rdf_ray.pipelines.multimodal import MediaResizer
+
+        rs = MediaResizer(out_w=4, out_h=4, use_stub=False)
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": ["1", "2"],
+                "media_ref": ["m/0", "m/1"],
+                "media_kind": ["image", "image"],
+                "payload": [b"\x89PNG\r\n\x1a\nGARBAGE", b"P6\n2 2\n255\n" + b"\x11" * 12],
+            }
+        )
+        out = rs(tbl).to_pydict()
+        assert out["src_w"] == [0, 2]
+        assert out["src_h"] == [0, 2]
