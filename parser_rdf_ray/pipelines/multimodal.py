@@ -11,8 +11,9 @@ is real and tested. Codec status:
   decoder — stream-supplied Huffman/quant tables, batched einsum IDCT,
   4:4:4/4:2:2/4:2:0 — plus a 4:4:4 encoder for round trips), GIF
   (pipelines/gifcodec.py: LZW + interlace, first frame; palettized
-  encoder), and RIFF/WAVE PCM-16 audio — decode, luminance / energy histogram
-  features, and nearest-neighbor resize with P6 re-encode.
+  encoder), uncompressed TIFF (either byte order, strip layout; LE
+  encoder), and RIFF/WAVE PCM-16 audio — decode, luminance / energy
+  histogram features, and nearest-neighbor resize with P6/PNG re-encode.
 - STUBBED: formats needing an actual codec (MP3/H.264/WebP …, plus
   progressive/12-bit/arithmetic JPEG and palette/16-bit/interlaced
   PNG) — `decode_real` raises
@@ -219,6 +220,8 @@ def _decode_image(data: bytes) -> np.ndarray:
         from parser_rdf_ray.pipelines.gifcodec import decode_gif
 
         return decode_gif(data)
+    if data[:4] in _TIFF_SIGS:
+        return _decode_tiff(data)
     raise NotImplementedError(
         "image formats beyond netpbm/BMP/PNG/baseline-JPEG need codecs "
         "not present in this build"
@@ -349,6 +352,7 @@ class MediaDecoder:
             payload[:2] in (b"P6", b"P5", b"BM", b"\xff\xd8")
             or payload[:8] == _PNG_SIG
             or payload[:6] in (b"GIF87a", b"GIF89a")
+            or payload[:4] in _TIFF_SIGS
         ):
             return _image_feature(_decode_image(payload))
         if payload[:4] == b"RIFF":
@@ -610,10 +614,11 @@ def media_decode_real(documents_ds, w: int = 16, h: int = 8,
     """END-TO-END REAL-CODEC pipeline, oracle-checkable: each document
     gets a deterministic payload (pixel byte k = (doc_id·31 + k·7)
     % 256 — a pure function of doc_id, so SQL can regenerate the exact
-    pixels), CONTAINER-FORMAT-MIXED: even doc_ids ship as P6 netpbm,
-    odd as zlib-compressed PNG of the SAME pixels, so both real decoders
-    run under the driver gate while the histogram oracle — which depends
-    only on pixels — is unchanged. The actor-pool decoder runs the REAL
+    pixels), CONTAINER-FORMAT-MIXED: doc_id % 3 rotates P6 netpbm /
+    zlib-compressed PNG / LZW-compressed GIF of the SAME pixels (a
+    128-px image has ≤128 unique colors, so GIF is exact), so all three
+    real decoders run under the driver gate while the histogram oracle —
+    which depends only on pixels — is unchanged. The actor-pool decoder runs the REAL
     parse + luminance histogram (`MediaDecoder(use_stub=False)` — no
     fake anywhere in this path), and the 16-bin feature is emitted
     long-form. w·h = 128 keeps the hist/size division a power of two,
@@ -629,8 +634,12 @@ def media_decode_real(documents_ds, w: int = 16, h: int = 8,
 
         def payload(d: int) -> bytes:
             px = ((d * 31 + k * 7) % 256).astype(np.uint8)
-            if d % 2:
+            if d % 3 == 1:
                 return _encode_png(px.reshape(h, w, 3))
+            if d % 3 == 2:
+                from parser_rdf_ray.pipelines.gifcodec import encode_gif
+
+                return encode_gif(px.reshape(h, w, 3))
             return header + px.tobytes()
 
         payloads = [payload(int(d)) for d in ids]
@@ -674,3 +683,111 @@ def media_decode_real(documents_ds, w: int = 16, h: int = 8,
         )
 
     return feats.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+
+@malformed_guard("TIFF")
+def _decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline uncompressed TIFF (8-bit gray or RGB, strip layout,
+    either byte order) → uint8 (h, w[, 3]). Compressed TIFF variants
+    (LZW/JPEG/deflate/packbits) raise NotImplementedError."""
+    if data[:4] not in _TIFF_SIGS:
+        raise ValueError("not a TIFF payload")
+    bo = "little" if data[:2] == b"II" else "big"
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    ifd = u(data[4:8])
+    n = u(data[ifd : ifd + 2])
+    if n > 4096:
+        raise ValueError(f"implausible TIFF IFD entry count {n}")
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n):
+        e = data[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+        tags[u(e[0:2])] = (u(e[2:4]), u(e[4:8]), e[8:12])
+
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, cnt, raw = tags[tag]
+        sz = type_size.get(typ)
+        if sz is None:
+            raise NotImplementedError(f"TIFF tag type {typ}")
+        if cnt > (1 << 16):
+            # no baseline tag legitimately needs 64k values; a mutated
+            # count must not become an unbounded decode loop
+            raise ValueError(f"implausible TIFF tag count {cnt}")
+        total = sz * cnt
+        buf = raw[:total] if total <= 4 else data[u(raw) : u(raw) + total]
+        return [u(buf[j * sz : (j + 1) * sz]) for j in range(cnt)]
+
+    w = values(256)[0]
+    h = values(257)[0]
+    check_dims(w, h, "TIFF")
+    comp = values(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError("only uncompressed TIFF supported")
+    spp = values(277, [1])[0]
+    bps = values(258, [8] * spp)
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if spp not in (1, 3):
+        raise NotImplementedError(f"TIFF samples-per-pixel {spp}")
+    offs = values(273)
+    counts = values(279, [w * h * spp])
+    raw = b"".join(data[o : o + c] for o, c in zip(offs, counts))
+    arr = np.frombuffer(raw[: w * h * spp], np.uint8)
+    if arr.size != w * h * spp:
+        raise ValueError("truncated TIFF strip data")
+    img = arr.reshape(h, w, spp)
+    return img[:, :, 0] if spp == 1 else img
+
+
+def _encode_tiff(img: np.ndarray) -> bytes:
+    """Minimal little-endian uncompressed TIFF (one strip) — round-trip
+    counterpart of _decode_tiff. uint8 gray (h, w) or RGB (h, w, 3)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    body = img.tobytes()
+
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append(
+            tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + cnt.to_bytes(4, "little") + val
+        )
+
+    n_tags = 8
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    bps_off = data_off  # BitsPerSample array (only written when spp == 3)
+    strip_off = data_off + (6 if spp == 3 else 0)
+    short = lambda v: v.to_bytes(2, "little") + b"\x00\x00"  # noqa: E731
+    long_ = lambda v: v.to_bytes(4, "little")  # noqa: E731
+    entry(256, 4, 1, long_(w))
+    entry(257, 4, 1, long_(h))
+    if spp == 3:
+        entry(258, 3, 3, long_(bps_off))
+    else:
+        entry(258, 3, 1, short(8))
+    entry(259, 3, 1, short(1))  # no compression
+    entry(262, 3, 1, short(1 if gray else 2))  # photometric
+    entry(273, 4, 1, long_(strip_off))
+    entry(277, 3, 1, short(spp))
+    entry(279, 4, 1, long_(len(body)))
+    out = bytearray(b"II*\x00" + long_(ifd_off))
+    out += n_tags.to_bytes(2, "little") + b"".join(entries) + b"\x00" * 4
+    if spp == 3:
+        out += (8).to_bytes(2, "little") * 3
+    out += body
+    return bytes(out)

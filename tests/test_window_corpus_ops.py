@@ -2147,3 +2147,78 @@ class TestCodecMalformedContract:
         out = rs(tbl).to_pydict()
         assert out["src_w"] == [0, 2]
         assert out["src_h"] == [0, 2]
+
+
+class TestTiffCodec:
+    def test_round_trips_and_big_endian(self):
+        from parser_rdf_ray.pipelines.multimodal import _decode_tiff, _encode_tiff
+
+        rng = np.random.RandomState(47)
+        rgb = rng.randint(0, 256, (9, 7, 3), np.uint8)
+        gray = rng.randint(0, 256, (5, 11), np.uint8)
+        assert np.array_equal(_decode_tiff(_encode_tiff(rgb)), rgb)
+        assert np.array_equal(_decode_tiff(_encode_tiff(gray)), gray)
+
+    def test_hand_built_big_endian_two_strips(self):
+        """Independent of the (little-endian, one-strip) encoder: a
+        big-endian TIFF with TWO strips, built byte-by-byte."""
+        from parser_rdf_ray.pipelines.multimodal import _decode_tiff
+
+        img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        strips = [img[:2].tobytes(), img[2:].tobytes()]
+
+        def be2(v):
+            return v.to_bytes(2, "big")
+
+        def be4(v):
+            return v.to_bytes(4, "big")
+
+        n_tags = 8
+        ifd_off = 8
+        arr_off = ifd_off + 2 + 12 * n_tags + 4
+        bps_off, so_off, sc_off = arr_off, arr_off + 6, arr_off + 14
+        data_off = arr_off + 22
+        entries = b"".join(
+            [
+                be2(256) + be2(4) + be4(1) + be4(4),
+                be2(257) + be2(4) + be4(1) + be4(4),
+                be2(258) + be2(3) + be4(3) + be4(bps_off),
+                be2(259) + be2(3) + be4(1) + be2(1) + b"\x00\x00",
+                be2(262) + be2(3) + be4(1) + be2(2) + b"\x00\x00",
+                be2(273) + be2(4) + be4(2) + be4(so_off),
+                be2(277) + be2(3) + be4(1) + be2(3) + b"\x00\x00",
+                be2(279) + be2(4) + be4(2) + be4(sc_off),
+            ]
+        )
+        data = (
+            b"MM\x00*" + be4(ifd_off) + be2(n_tags) + entries + be4(0)
+            + be2(8) * 3
+            + be4(data_off) + be4(data_off + len(strips[0]))
+            + be4(len(strips[0])) + be4(len(strips[1]))
+            + strips[0] + strips[1]
+        )
+        assert np.array_equal(_decode_tiff(data), img)
+
+    def test_unsupported_and_malformed(self):
+        from parser_rdf_ray.pipelines.multimodal import _decode_tiff, _encode_tiff
+
+        img = np.zeros((2, 2, 3), np.uint8)
+        data = bytearray(_encode_tiff(img))
+        # flip the compression tag value (259, type SHORT) to 5 (LZW)
+        i = data.index((259).to_bytes(2, "little"))
+        data[i + 8] = 5
+        with pytest.raises(NotImplementedError, match="uncompressed"):
+            _decode_tiff(bytes(data))
+        with pytest.raises(ValueError, match="not a TIFF"):
+            _decode_tiff(b"JUNK")
+        # mutation fuzz: malformed contract
+        rng = np.random.RandomState(17)
+        base = _encode_tiff(img)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(len(b))] = rng.randint(256)
+            try:
+                _decode_tiff(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
