@@ -229,12 +229,39 @@ def _decode_image(data: bytes) -> np.ndarray:
 
 
 @malformed_guard("WAVE")
+def _mulaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 μ-law bytes → int16 linear, vectorized (the standard
+    expansion: bias 0x84, 3-bit exponent, 4-bit mantissa). Verified
+    byte-for-byte against stdlib audioop.ulaw2lin in tests."""
+    u = (~b.astype(np.int32)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 linear, vectorized (0x55 toggle, 3-bit
+    exponent). Verified byte-for-byte against audioop.alaw2lin."""
+    a = b.astype(np.int32) ^ 0x55
+    positive = (a & 0x80) != 0  # A-law sign bit SET means positive
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    t = (mant << 4) | 8
+    mag = np.where(exp > 0, (t + 0x100) << np.maximum(exp - 1, 0), t)
+    return np.where(positive, mag, -mag).astype(np.int16)
+
+
 def _decode_wav_pcm16(data: bytes) -> np.ndarray:
-    """RIFF/WAVE PCM-16 → int16 sample array (channels interleaved)."""
+    """RIFF/WAVE → int16 sample array (channels interleaved). Supported
+    encodings: PCM-16 (fmt 1), G.711 μ-law (fmt 7) and A-law (fmt 6) —
+    the telephony encodings expand to 16-bit linear with the vectorized
+    G.711 formulas above. Other encodings raise NotImplementedError."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAVE payload")
     pos = 12
-    fmt_ok = False
+    audio_fmt = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -242,11 +269,15 @@ def _decode_wav_pcm16(data: bytes) -> np.ndarray:
         if cid == b"fmt ":
             audio_fmt = int.from_bytes(body[0:2], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only PCM-16 WAVE supported")
-            fmt_ok = True
-        elif cid == b"data" and fmt_ok:
-            return np.frombuffer(body[: size & ~1], dtype="<i2")
+            if (audio_fmt, bits) not in ((1, 16), (6, 8), (7, 8)):
+                raise NotImplementedError(
+                    "only PCM-16 / G.711 mu-law / G.711 A-law WAVE supported"
+                )
+        elif cid == b"data" and audio_fmt is not None:
+            if audio_fmt == 1:
+                return np.frombuffer(body[: size & ~1], dtype="<i2")
+            raw = np.frombuffer(body[:size], dtype=np.uint8)
+            return (_mulaw_to_linear if audio_fmt == 7 else _alaw_to_linear)(raw)
         pos += 8 + size + (size & 1)
     raise ValueError("WAVE data chunk not found")
 

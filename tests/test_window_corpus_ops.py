@@ -2222,3 +2222,64 @@ class TestTiffCodec:
                 _decode_tiff(bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestG711Wav:
+    """G.711 mu-law / A-law WAV expansion, verified byte-for-byte over
+    ALL 256 code points against stdlib audioop (an independent reference
+    implementation)."""
+
+    def test_expansion_matches_audioop_exactly(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        from parser_rdf_ray.pipelines.multimodal import (
+            _alaw_to_linear,
+            _mulaw_to_linear,
+        )
+
+        allb = np.arange(256, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            _mulaw_to_linear(allb),
+            np.frombuffer(audioop.ulaw2lin(allb.tobytes(), 2), "<i2"),
+        )
+        np.testing.assert_array_equal(
+            _alaw_to_linear(allb),
+            np.frombuffer(audioop.alaw2lin(allb.tobytes(), 2), "<i2"),
+        )
+
+    @staticmethod
+    def _wav(fmt_code, bits, payload: bytes) -> bytes:
+        fmt = (
+            fmt_code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        body = (
+            b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(payload).to_bytes(4, "little") + payload
+        )
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+    def test_wav_container_routes_encodings(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        from parser_rdf_ray.pipelines.multimodal import _decode_wav_pcm16
+
+        rng = np.random.RandomState(3)
+        codes = rng.randint(0, 256, 300, dtype=np.uint8).tobytes()
+        got_u = _decode_wav_pcm16(self._wav(7, 8, codes))
+        np.testing.assert_array_equal(
+            got_u, np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+        )
+        got_a = _decode_wav_pcm16(self._wav(6, 8, codes))
+        np.testing.assert_array_equal(
+            got_a, np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+        )
+        with pytest.raises(NotImplementedError, match="WAVE"):
+            _decode_wav_pcm16(self._wav(2, 4, codes))  # ADPCM
