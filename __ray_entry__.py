@@ -911,6 +911,12 @@ def _q_corpus_training_set(sf_dir: str):
     return training_set(_flat_docs(sf_dir))
 
 
+def _q_text_repetition(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import repetition_signals
+
+    return repetition_signals(_flat_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries (dict order).  Layout:
@@ -946,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_decontam": _q_corpus_decontam,
         "sketch_quantiles": _q_sketch_quantiles,
         "corpus_training_set": _q_corpus_training_set,
+        "text_repetition": _q_text_repetition,
         # --- family representatives, driver-green in r03 ---
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -962,7 +969,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_formats": _q_kg_formats,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -976,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": _q_rel_range_join,
         "rel_left_join": _q_rel_left_join,
         # --- past the 50-entry gate: cousins, all driver-green in r03 ---
+        "dedup_simhash": _q_dedup_simhash,
         "media_features": _q_media_features,
         "kg_degree": _q_kg_degree,
         "rel_sessions": _q_rel_sessions,
@@ -2095,6 +2102,37 @@ SELECT doc_id, n_tokens, start_tok,
        CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
        split
 FROM cpre
+"""
+
+    # Gopher-style within-document repetition: integer counts only, so
+    # both sides are exact; bigram tokens are the shared whitespace
+    # contract, lines split on newline
+    sql["text_repetition"] = r"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY doc_id, line),
+ls AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_lines
+  FROM lc GROUP BY doc_id
+),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(ts[i.r : i.r + 1], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS r) i
+  WHERE len(ts) >= 2
+),
+bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+bs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM bc GROUP BY doc_id
+)
+SELECT ls.doc_id, ls.n_lines, ls.dup_lines,
+       COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+       COALESCE(bs.top_bigram_count, 0) AS top_bigram_count
+FROM ls LEFT JOIN bs USING (doc_id)
 """
 
     return sql

@@ -190,6 +190,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "corpus_decontam",
         "sketch_quantiles",
         "corpus_training_set",
+        "text_repetition",
     ]
     import gc
 

@@ -457,3 +457,80 @@ def tfidf_top_terms(documents_ds, k: int = 3, idf_scale: int = 1_000_000):
     return grouped_topk(
         scored, ["doc_id"], "score", k, descending=True, tie_cols=["term"]
     )
+
+
+REPETITION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_lines", pa.int64()),
+        ("dup_lines", pa.int64()),
+        ("n_bigrams", pa.int64()),
+        ("top_bigram_count", pa.int64()),
+    ]
+)
+
+
+def repetition_signals(documents_ds):
+    """WITHIN-DOCUMENT repetition signals (the Gopher/MassiveText
+    quality rules, Rae et al. 2021): duplicate-line count and the
+    most-frequent-word-bigram count per document — boilerplate and
+    looping-generation detectors. All counts integer-exact (consumers
+    derive fractions), so the SQL oracle matches bit-for-bit.
+
+    Scale shape: per-document computation only — ONE vectorized
+    map_batches (polars split/explode/group_by inside the block), no
+    shuffle at all. Tokens are the shared whitespace contract; lines
+    split on newline; docs with < 2 tokens have 0 bigrams."""
+    import polars as pl
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(pc.cast(batch.column("doc_id"), pa.int64())),
+                "text": pl.from_arrow(batch.column("text")),
+            }
+        )
+        lines = (
+            df.select("doc_id", pl.col("text").str.split("\n").alias("line"))
+            .explode("line")
+            .group_by("doc_id", "line")
+            .agg(pl.len().alias("c"))
+            .group_by("doc_id")
+            .agg(
+                pl.col("c").sum().alias("n_lines"),
+                (pl.col("c").sum() - pl.len()).alias("dup_lines"),
+            )
+        )
+        toks = df.select(
+            "doc_id",
+            pl.col("text").str.strip_chars().str.extract_all(r"\S+").alias("t"),
+        ).explode("t")
+        bi = (
+            toks.with_columns(pl.col("t").shift(-1).over("doc_id").alias("t1"))
+            .filter(pl.col("t1").is_not_null())
+            .group_by("doc_id", "t", "t1")
+            .agg(pl.len().alias("c"))
+            .group_by("doc_id")
+            .agg(
+                pl.col("c").sum().alias("n_bigrams"),
+                pl.col("c").max().alias("top_bigram_count"),
+            )
+        )
+        out = (
+            lines.join(bi, on="doc_id", how="left")
+            .with_columns(
+                pl.col("n_bigrams").fill_null(0),
+                pl.col("top_bigram_count").fill_null(0),
+            )
+            .sort("doc_id")
+            .rechunk()
+        )
+        t = out.to_arrow()
+        return pa.Table.from_arrays(
+            [pc.cast(t.column(f.name), f.type) for f in REPETITION_SCHEMA],
+            schema=REPETITION_SCHEMA,
+        )
+
+    return documents_ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

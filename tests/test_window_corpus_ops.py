@@ -2283,3 +2283,46 @@ class TestG711Wav:
         )
         with pytest.raises(NotImplementedError, match="WAVE"):
             _decode_wav_pcm16(self._wav(2, 4, codes))  # ADPCM
+
+
+class TestRepetitionSignals:
+    def test_matches_independent_python(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.text import repetition_signals
+
+        texts = {
+            1: "a b\na b\nc d",            # dup line; bigrams: (a b)x2,(b a),(b c),(c d)
+            2: "hello",                      # 1 token -> 0 bigrams
+            3: "",                           # 1 empty line, 0 tokens
+            4: "x x x x",                    # top bigram (x x) = 3
+        }
+        tbl = pa.Table.from_pydict(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        )
+        got = (
+            repetition_signals(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+
+        def expect(t):
+            lines = t.split("\n")
+            toks = t.strip().split() if t.strip() else []
+            bigrams = [tuple(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            from collections import Counter
+
+            bc = Counter(bigrams)
+            return (
+                len(lines),
+                len(lines) - len(set(lines)),
+                len(bigrams),
+                max(bc.values()) if bc else 0,
+            )
+
+        for d, t in texts.items():
+            nl, dl, nb, tb = expect(t)
+            row = got.loc[d]
+            assert (row.n_lines, row.dup_lines, row.n_bigrams,
+                    row.top_bigram_count) == (nl, dl, nb, tb), (d, t)
