@@ -917,6 +917,12 @@ def _q_text_repetition(sf_dir: str):
     return repetition_signals(_flat_docs(sf_dir))
 
 
+def _q_text_postings(sf_dir: str):
+    from parser_rdf_ray.pipelines.text import term_postings
+
+    return term_postings(_flat_docs(sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries (dict order).  Layout:
@@ -953,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_quantiles": _q_sketch_quantiles,
         "corpus_training_set": _q_corpus_training_set,
         "text_repetition": _q_text_repetition,
+        "text_postings": _q_text_postings,
         # --- family representatives, driver-green in r03 ---
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
@@ -970,7 +977,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
-        "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "corpus_curation": _q_corpus_curation,
         "knn_ivf": _q_knn_ivf,
@@ -982,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": _q_rel_range_join,
         "rel_left_join": _q_rel_left_join,
         # --- past the 50-entry gate: cousins, all driver-green in r03 ---
+        "text_tokens": _q_text_tokens,
         "dedup_simhash": _q_dedup_simhash,
         "media_features": _q_media_features,
         "kg_degree": _q_kg_degree,
@@ -2133,6 +2140,20 @@ SELECT ls.doc_id, ls.n_lines, ls.dup_lines,
        COALESCE(bs.n_bigrams, 0) AS n_bigrams,
        COALESCE(bs.top_bigram_count, 0) AS top_bigram_count
 FROM ls LEFT JOIN bs USING (doc_id)
+"""
+
+    # inverted-index postings: the same whitespace-token tf rows as
+    # text_tfidf, top-k docs per term via a QUALIFY window
+    sql["text_postings"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+)
+SELECT term, doc_id, tf FROM tf
+QUALIFY ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) <= 3
 """
 
     return sql

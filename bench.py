@@ -191,6 +191,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "sketch_quantiles",
         "corpus_training_set",
         "text_repetition",
+        "text_postings",
     ]
     import gc
 

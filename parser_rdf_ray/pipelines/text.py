@@ -534,3 +534,45 @@ def repetition_signals(documents_ds):
     return documents_ds.map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def term_postings(documents_ds, k: int = 5):
+    """INVERTED-INDEX POSTINGS: the top-k documents per term by term
+    frequency (ties → smaller doc_id) — the retrieval-index build step,
+    emitted as (term, doc_id, tf) rows.
+
+    Plan (one exchange): per-batch vectorized (doc_id, term, tf) rows via
+    ONE polars explode+group_by (globally unique per (doc, term): a doc
+    lives in exactly one batch), then stages/groups.grouped_topk bounds
+    the shuffle to k × blocks candidate rows per term — the distributed
+    ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) <= k.
+    Tokens are the shared whitespace contract, so the SQL oracle (a
+    QUALIFY window over unnested tokens) matches exactly."""
+    import polars as pl
+
+    from parser_rdf_ray.stages.groups import grouped_topk
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        toks = ws_tokens(pc.cast(batch.column("text"), pa.string()))
+        t = pa.Table.from_arrays([ids, toks], names=["doc_id", "term"])
+        agg = pl.from_arrow(t).explode("term").group_by(["doc_id", "term"]).len()
+        out = agg.to_arrow()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(out.column("term").combine_chunks(), pa.string()),
+                pc.cast(out.column("doc_id").combine_chunks(), pa.int64()),
+                pc.cast(out.column("len").combine_chunks(), pa.int64()),
+            ],
+            names=["term", "doc_id", "tf"],
+        )
+
+    tf = documents_ds.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_topk(
+        tf, ["term"], "tf", k, descending=True, tie_cols=["doc_id"]
+    )
