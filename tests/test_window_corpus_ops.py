@@ -2326,3 +2326,177 @@ class TestRepetitionSignals:
             row = got.loc[d]
             assert (row.n_lines, row.dup_lines, row.n_bigrams,
                     row.top_bigram_count) == (nl, dl, nb, tb), (d, t)
+
+
+class TestTrainingSetComposite:
+    def test_each_stage_visible_in_output(self, ray_session):
+        """Hand-checkable composite: quality gate drops short docs,
+        dedup keeps cluster representatives, eval docs and contaminated
+        docs drop, split and packing follow their standalone contracts."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import training_set
+
+        # eval membership: md5(doc_id) % 100 < 10
+        ids = list(range(400))
+        evals = [i for i in ids if _md5_low64(str(i)) % 100 < 10]
+        trains = [i for i in ids if _md5_low64(str(i)) % 100 >= 10]
+        def words(prefix, n):
+            # letter-only tokens so the 0.6 alpha-ratio quality gate passes
+            return " ".join(
+                f"{prefix}{chr(97 + j % 26)}{chr(97 + (j // 26) % 26)}"
+                for j in range(n)
+            )
+
+        base = words("w", 30)
+        texts = {}
+        texts[evals[0]] = "evalgram one two " + base  # eval doc
+        texts[trains[0]] = "evalgram one two " + base + " tail"  # contaminated
+        texts[trains[1]] = "short doc"  # fails quality (< 20 tokens)
+        texts[trains[2]] = words("u", 30) + " unique alpha beta gamma delta"
+        texts[trains[3]] = words("u", 30) + " unique alpha beta gamma delta"
+        texts[trains[4]] = words("z", 25)
+        docs = pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+        ).astype({"doc_id": np.int64})
+        out = (
+            training_set(ray.data.from_pandas(docs), seq_len=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        kept = set(out.doc_id)
+        assert evals[0] not in kept  # eval removed
+        assert trains[0] not in kept  # contaminated removed
+        assert trains[1] not in kept  # quality-failed removed
+        # near-dup pair: only the min doc_id representative survives
+        assert min(trains[2], trains[3]) in kept
+        assert max(trains[2], trains[3]) not in kept
+        assert trains[4] in kept
+        # split follows the md5 contract; packing is the exclusive prefix
+        for _, r in out.iterrows():
+            want = "train" if _md5_low64(str(int(r.doc_id))) % 100 < 90 else "val"
+            assert r.split == want
+        srt = out.sort_values("doc_id")
+        assert srt.start_tok.tolist() == np.concatenate(
+            [[0], np.cumsum(srt.n_tokens.to_numpy())[:-1]]
+        ).tolist()
+        assert (srt.first_seq == srt.start_tok // 16).all()
+
+
+class TestClaimedCodecPaths:
+    def test_jpeg_422_constant_color(self):
+        """4:2:2 (h=2, v=1 luma) — claimed, now pinned via a hand-built
+        constant-color MCU (2 Y + Cb + Cr blocks)."""
+        from parser_rdf_ray.pipelines.jpegcodec import (
+            _BitWriter,
+            _build_huffman,
+            decode_jpeg,
+        )
+
+        dc_bits = [0, 0, 0, 12] + [0] * 12
+        ac_bits = [0, 1] + [0] * 14
+        _, dc_enc = _build_huffman(dc_bits, list(range(12)))
+        _, ac_enc = _build_huffman(ac_bits, [0x00])
+
+        def put_dc(wtr, diff):
+            s = int(abs(diff)).bit_length()
+            ln, code = dc_enc[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            ln, code = ac_enc[0x00]
+            wtr.write(code, ln)
+
+        wtr = _BitWriter()
+        put_dc(wtr, 6)   # Y block 1
+        put_dc(wtr, 0)   # Y block 2
+        put_dc(wtr, -4)  # Cb
+        put_dc(wtr, 2)   # Cr
+        scan = wtr.flush()
+
+        def seg(m, b):
+            return bytes([0xFF, m]) + (len(b) + 2).to_bytes(2, "big") + b
+
+        data = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([16] * 64))
+            + seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                  + bytes([3, 1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+            + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+            + scan + b"\xff\xd9"
+        )
+        got = decode_jpeg(data)
+        assert got.shape == (8, 16, 3)
+        y, cb, cr = 140.0, 120.0, 132.0  # dc*16/8 + 128
+        exp = np.clip(np.rint([
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ]), 0, 255).astype(np.uint8)
+        assert np.array_equal(got, np.broadcast_to(exp, (8, 16, 3)))
+
+    def test_gif_local_color_table(self):
+        from parser_rdf_ray.pipelines.gifcodec import _lzw_encode, decode_gif
+
+        idx = np.array([[0, 1], [1, 0]], np.uint8)
+        local = np.array([[10, 20, 30], [200, 210, 220]], np.uint8)
+        lzw = _lzw_encode(2, bytes(idx.ravel()))
+        out = bytearray(b"GIF89a")
+        out += (2).to_bytes(2, "little") * 2 + bytes([0, 0, 0])  # NO global table
+        out += b"\x2c" + b"\x00" * 4 + (2).to_bytes(2, "little") * 2
+        out += bytes([0x80 | 0])  # local table, 2 entries (bits-1 = 0)
+        out += local.tobytes() + bytes([2])
+        for i in range(0, len(lzw), 255):
+            out += bytes([len(lzw[i:i+255])]) + lzw[i:i+255]
+        out += b"\x00\x3b"
+        assert np.array_equal(decode_gif(bytes(out)), local[idx])
+
+    def test_bmp_topdown_negative_height(self):
+        from parser_rdf_ray.pipelines.multimodal import _decode_bmp24
+
+        img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+        # hand-build a TOP-DOWN (negative height) 24-bit BMP
+        stride = (2 * 3 + 3) & ~3
+        rows = b""
+        for y in range(2):  # top-down: natural order
+            row = img[y, :, ::-1].tobytes()  # RGB->BGR
+            rows += row + b"\x00" * (stride - len(row))
+        off = 54
+        header = (
+            b"BM" + (off + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+            + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (2).to_bytes(4, "little") + (-2).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        assert np.array_equal(_decode_bmp24(header + rows), img)
+
+
+class TestDecontaminateHotGram:
+    def test_stop_gram_mega_run_is_correct(self, ray_session):
+        """A gram shared by EVERY document (the documented skew hazard)
+        must still produce the correct verdicts."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import decontaminate
+
+        n = 300
+        # every doc contains the same 3-gram "common stop gram"
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [f"common stop gram unique{i} tail{i}" for i in range(n)],
+            }
+        )
+        out = decontaminate(
+            ray.data.from_pandas(docs).repartition(8), eval_pct=10, n=3
+        ).to_pandas()
+        # the shared gram is in the eval set too, so every train doc is
+        # contaminated — and every train doc must be present exactly once
+        trains = [i for i in range(n) if _md5_low64(str(i)) % 100 >= 10]
+        assert sorted(out.doc_id) == trains
+        assert out.contaminated.all()
