@@ -925,15 +925,13 @@ def _q_text_postings(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
-    # entries (dict order).  Layout:
-    #   1-17  the round-3 wave that had no driver row in CORRECTNESS_r03
-    #         (they passed the identical local dual-scale sweep only);
-    #   18-50 one-or-more representatives of every operator family, all
-    #         driver-green in r03;
-    #   51-67 cousins of in-gate entries, every one driver-green in r03
-    #         (e.g. kg_paths2~kg_degree, rel_semi_join~rel_anti_join,
-    #         media_resize/frames~media_features).  All 67 stay in the
-    #         repo's own sf0.001+sf0.01 oracle sweep (pytest -m oracle).
+    # entries (dict order).  Rotation discipline (round 5): every entry that
+    # has never had a driver CORRECTNESS row sits INSIDE the first 50; the
+    # tail past the gate holds only cousins that are driver-green from an
+    # earlier round.  This round: rel_cube (the one r4 entry past the gate)
+    # and the new r5 queries rotate IN; driver-green cousins of the same
+    # families (corpus_stratified r4, ...) rotate OUT.  All entries stay in
+    # the repo's own sf0.001+sf0.01 oracle sweep (pytest -m oracle).
     return {
         # --- never driver-checked before round 4 ---
         "rel_anti_join": _q_rel_anti_join,
@@ -947,7 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_per_lang_sample": _q_corpus_per_lang_sample,
         "rel_covar": _q_rel_covar,
         "rel_ntile": _q_rel_ntile,
-        "corpus_stratified": _q_corpus_stratified,
+        "rel_cube": _q_rel_cube,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
         "text_redact": _q_text_redact,
@@ -1012,7 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_gaps": _q_rel_event_gaps,
         "rel_merge_join": _q_rel_merge_join,
         "rel_semi_join": _q_rel_semi_join,
-        "rel_cube": _q_rel_cube,
+        "corpus_stratified": _q_corpus_stratified,
     }
 
 

@@ -502,7 +502,7 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
                 .str.extract_all(r"\S+"),
             }
         )
-        ex = df.explode("ts")
+        ex = df.explode("ts", empty_as_null=True)
         shifts = [
             pl.col("ts").shift(-k).over("doc_id").alias(f"_t{k}")
             for k in range(1, n)

@@ -69,7 +69,10 @@ def _decode_bmp24(data: bytes) -> np.ndarray:
     comp = int.from_bytes(data[30:34], "little")
     if bpp != 24 or comp != 0:
         raise NotImplementedError("only uncompressed 24-bit BMP supported")
-    check_dims(w, abs(h) or 1, "BMP")
+    # abs(h): height may legitimately be negative (top-down rows), but ZERO
+    # height is a degenerate payload and must take the malformed path like
+    # every other bad-dimension case, not decode to an empty (0, w, 3) image
+    check_dims(w, abs(h), "BMP")
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(data[off : off + stride * abs(h)], dtype=np.uint8)
     rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
@@ -228,7 +231,6 @@ def _decode_image(data: bytes) -> np.ndarray:
     )
 
 
-@malformed_guard("WAVE")
 def _mulaw_to_linear(b: np.ndarray) -> np.ndarray:
     """G.711 μ-law bytes → int16 linear, vectorized (the standard
     expansion: bias 0x84, 3-bit exponent, 4-bit mantissa). Verified
@@ -253,6 +255,7 @@ def _alaw_to_linear(b: np.ndarray) -> np.ndarray:
     return np.where(positive, mag, -mag).astype(np.int16)
 
 
+@malformed_guard("WAVE")
 def _decode_wav_pcm16(data: bytes) -> np.ndarray:
     """RIFF/WAVE → int16 sample array (channels interleaved). Supported
     encodings: PCM-16 (fmt 1), G.711 μ-law (fmt 7) and A-law (fmt 6) —

@@ -415,7 +415,7 @@ def tfidf_top_terms(documents_ds, k: int = 3, idf_scale: int = 1_000_000):
         t = pa.Table.from_arrays([ids, toks], names=["doc_id", "term"])
         agg = (
             pl.from_arrow(t)
-            .explode("term")
+            .explode("term", empty_as_null=True)
             .group_by(["doc_id", "term"])
             .len()
         )
@@ -492,7 +492,7 @@ def repetition_signals(documents_ds):
         )
         lines = (
             df.select("doc_id", pl.col("text").str.split("\n").alias("line"))
-            .explode("line")
+            .explode("line", empty_as_null=True)
             .group_by("doc_id", "line")
             .agg(pl.len().alias("c"))
             .group_by("doc_id")
@@ -504,7 +504,7 @@ def repetition_signals(documents_ds):
         toks = df.select(
             "doc_id",
             pl.col("text").str.strip_chars().str.extract_all(r"\S+").alias("t"),
-        ).explode("t")
+        ).explode("t", empty_as_null=True)
         bi = (
             toks.with_columns(pl.col("t").shift(-1).over("doc_id").alias("t1"))
             .filter(pl.col("t1").is_not_null())
@@ -559,7 +559,7 @@ def term_postings(documents_ds, k: int = 5):
         ids = pc.cast(batch.column("doc_id"), pa.int64())
         toks = ws_tokens(pc.cast(batch.column("text"), pa.string()))
         t = pa.Table.from_arrays([ids, toks], names=["doc_id", "term"])
-        agg = pl.from_arrow(t).explode("term").group_by(["doc_id", "term"]).len()
+        agg = pl.from_arrow(t).explode("term", empty_as_null=True).group_by(["doc_id", "term"]).len()
         out = agg.to_arrow()
         return pa.Table.from_arrays(
             [

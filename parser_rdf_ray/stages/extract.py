@@ -350,7 +350,10 @@ def _merged_map_frame(df, keys, col, expected_keys):
     g = base.group_by(keys, maintain_order=True).agg(
         [pl.col(a).max() for a in fcols.values()]
     ).rechunk()
-    assert g.select(keys).equals(expected_keys), "map-merge group order drift"
+    # explicit raise, not assert: this is a data-integrity check that must
+    # survive python -O (a silent drift would misalign merged JSON per entity)
+    if not g.select(keys).equals(expected_keys):
+        raise RuntimeError("map-merge group order drift")
     n = g.height
     if not fields:
         return (
@@ -435,9 +438,11 @@ def _merged_annotations_frame(df, keys, col, expected_keys):
         t not in (pl.String, pl.Null) for t in fdt.values()
     ):
         raise _JsonShapeFallback(col)
-    ex = sub.drop(col).with_columns(dec.alias("_a")).explode("_a")
-    # empty source lists explode to a null-struct placeholder row, which
-    # keeps their group present through the group_by; _rec masks them out
+    # empty_as_null=True is load-bearing: empty source lists must explode to a
+    # null-struct placeholder row so their group survives the group_by (polars
+    # 2.0 flips the default to False, which would DROP those groups and trip
+    # the group-order check); _rec masks the placeholders out downstream
+    ex = sub.drop(col).with_columns(dec.alias("_a")).explode("_a", empty_as_null=True)
     parts = {}
     for name, alias in (("property", "_p"), ("value", "_v"), ("lang", "_l")):
         if name in fdt and fdt[name] == pl.String:
@@ -448,7 +453,13 @@ def _merged_annotations_frame(df, keys, col, expected_keys):
         [e.alias(a) for a, e in parts.items()]
         + [pl.col("_a").is_not_null().alias("_rec")]
     ).drop("_a")
-    ex = ex.unique(subset=keys + ["_p", "_v", "_l"], keep="any").sort(
+    # _rec MUST be in the dedup subset: a genuine all-null annotation record
+    # shares the (null, null, null) key tuple with the empty-list placeholder,
+    # and keep="any" on the narrower subset could nondeterministically keep the
+    # placeholder and drop the record (the Python fallback keeps it). With _rec
+    # included both rows survive; the placeholder's null frag is skipped by
+    # str.join / the `if r` filter, so output stays byte-equal to the fallback.
+    ex = ex.unique(subset=keys + ["_p", "_v", "_l", "_rec"], keep="any").sort(
         keys + ["_p", "_v", "_l"], nulls_last=True
     )
     plain = not ex.select(
@@ -484,14 +495,16 @@ def _merged_annotations_frame(df, keys, col, expected_keys):
         g = ex.with_columns(frag.alias("_frag")).group_by(
             keys, maintain_order=True
         ).agg(pl.col("_frag").str.join(", ").alias("_j")).rechunk()
-        assert g.select(keys).equals(expected_keys), "annotation group order drift"
+        if not g.select(keys).equals(expected_keys):
+            raise RuntimeError("annotation group order drift")
         return g.select(
             (pl.lit("[") + pl.col("_j").fill_null("") + pl.lit("]")).alias(col)
         )[col]
     g = ex.group_by(keys, maintain_order=True).agg(
         [pl.col("_p"), pl.col("_v"), pl.col("_l"), pl.col("_rec")]
     ).rechunk()
-    assert g.select(keys).equals(expected_keys), "annotation group order drift"
+    if not g.select(keys).equals(expected_keys):
+        raise RuntimeError("annotation group order drift")
     out = []
     for ps, vs, ls, recs in zip(
         g["_p"].to_list(), g["_v"].to_list(), g["_l"].to_list(), g["_rec"].to_list()
@@ -568,7 +581,7 @@ def _class_merge_block(mode: str):
             pl.col("label").drop_nulls().min().alias("_lmin"),
             pl.col("description").drop_nulls().min().alias("_dmin"),
         ] + [
-            pl.col(c).explode().drop_nulls().unique().sort().alias(c)
+            pl.col(c).explode(empty_as_null=True).drop_nulls().unique().sort().alias(c)
             for c in _CLASS_LIST_COLS
         ]
         if mode == "final":
@@ -741,7 +754,7 @@ def merge_properties_global(ds):
             pl.col("is_functional").any().alias("is_functional"),
             pl.col("doc_id").n_unique().alias("n_docs"),
         ] + [
-            pl.col(c).explode().drop_nulls().unique().sort().alias(c)
+            pl.col(c).explode(empty_as_null=True).drop_nulls().unique().sort().alias(c)
             for c in _PROP_LIST_COLS
         ]
         agg = df.group_by("uri", maintain_order=True).agg(aggs).rechunk()

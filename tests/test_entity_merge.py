@@ -145,6 +145,27 @@ class TestVectorizedMergeEquivalence:
         )
         assert out["label"][0] == "ok"
 
+    def test_all_null_annotation_record_survives_empty_list_placeholder(self):
+        # an all-null annotation record shares the (null, null, null) dedup
+        # key with the empty-list explode placeholder; _rec in the unique
+        # subset guarantees the REAL record always survives (the former
+        # keep="any" could nondeterministically keep the placeholder and
+        # drop it, diverging from the Python fallback)
+        null_rec = {"property": None, "value": None, "lang": None}
+        rows = [
+            _row("d1", "u1", {}, {}, [null_rec]),
+            _row("d2", "u1", {}, {}, []),
+        ]
+        out = _class_merge_block("plain")(_mk_batch(rows)).to_pydict()
+        assert out["annotations_json"][0] == json.dumps(
+            [{"lang": None, "property": None, "value": None}], sort_keys=True
+        )
+        # and matches the per-group Python fallback byte-for-byte
+        exp = _merge_annotation_lists(
+            [sorted({r["annotations_json"] for r in rows})]
+        )
+        assert out["annotations_json"] == exp
+
     def test_empty_maps_and_lists(self):
         rows = [
             _row("d1", "u1", {}, {}, []),

@@ -2475,6 +2475,37 @@ class TestClaimedCodecPaths:
         )
         assert np.array_equal(_decode_bmp24(header + rows), img)
 
+    def test_bmp_zero_height_is_malformed(self):
+        # h == 0 must take the malformed path (ValueError), not decode to
+        # an empty (0, w, 3) image with decode_ok=True
+        from parser_rdf_ray.pipelines.multimodal import _decode_bmp24
+
+        off = 54
+        header = (
+            b"BM" + off.to_bytes(4, "little") + b"\x00" * 4
+            + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (2).to_bytes(4, "little") + (0).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        with pytest.raises(ValueError):
+            _decode_bmp24(header)
+
+    def test_wav_container_parse_is_guarded(self):
+        # the malformed-payload guard sits on the WAV CONTAINER parser
+        # (not the numpy expansion helpers): a truncated fmt chunk whose
+        # slice arithmetic would surface as IndexError/struct garbage must
+        # come back as ValueError/NotImplementedError only
+        from parser_rdf_ray.pipelines.multimodal import _decode_wav_pcm16
+
+        # fmt chunk claims a huge size so body slicing goes degenerate
+        bad = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + b"fmt " + (
+            0
+        ).to_bytes(4, "little")
+        with pytest.raises((ValueError, NotImplementedError)):
+            _decode_wav_pcm16(bad)
+
 
 class TestDecontaminateHotGram:
     def test_stop_gram_mega_run_is_correct(self, ray_session):
