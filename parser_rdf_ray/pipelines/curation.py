@@ -18,25 +18,24 @@ composition, not just the pieces.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from parser_rdf_ray.pipelines.dedup import _md5_low64, near_dup_clusters
+from parser_rdf_ray.pipelines.dedup import near_dup_clusters
 
 
 def split_values(ids, train_pct: int) -> pa.Array:
-    """train/val labels for a list of int doc_ids — THE split contract
-    (md5-low64(doc_id) % 100 < train_pct), shared by hash_split and
-    curated_corpus_with_split so the rule cannot drift between the
-    standalone op and the end-to-end pipeline. One md5 per row over the
-    tiny id strings (C-speed hashlib; the SQL-replayability contract)."""
-    return pa.array(
-        [
-            "train" if _md5_low64(str(i)) % 100 < train_pct else "val"
-            for i in ids
-        ],
-        pa.string(),
-    )
+    """train/val labels for int doc_ids (list or pyarrow int array) —
+    THE split contract (md5-low64(doc_id) % 100 < train_pct), shared by
+    hash_split and curated_corpus_with_split so the rule cannot drift
+    between the standalone op and the end-to-end pipeline.  Hashing is
+    the vectorized lane-parallel MD5 (md5vec) — bit-identical to the
+    SQL oracle's md5_number_lower, zero per-row hashlib dispatch."""
+    from parser_rdf_ray.md5vec import md5_low64_ids
+
+    train = md5_low64_ids(ids) % 100 < train_pct
+    return pc.if_else(pa.array(train), pa.scalar("train"), pa.scalar("val"))
 
 
 def _split_batch(batch: pa.Table, train_pct: int) -> pa.Table:
@@ -158,13 +157,19 @@ def stratified_sample(documents_ds, rates: dict[str, int], default_pct: int = 10
     streaming pass, no shuffle; SQL oracle via md5_number_lower."""
 
     def gate(batch: pa.Table) -> pa.Table:
+        from parser_rdf_ray.md5vec import md5_low64_ids
+
         ids = pc.cast(batch.column("doc_id"), pa.int64())
         langs = batch.column("lang").to_pylist()
-        buckets = [_md5_low64(str(i)) % 100 for i in ids.to_pylist()]
-        keep = pa.array(
-            [b < rates.get(lang, default_pct) for b, lang in zip(buckets, langs)],
-            pa.bool_(),
+        buckets = md5_low64_ids(ids) % 100
+        # per-row dict lookup over the tiny rate table only; the hash
+        # itself is vectorized
+        thresh = np.fromiter(
+            (rates.get(lang, default_pct) for lang in langs),
+            dtype=np.uint64,
+            count=len(langs),
         )
+        keep = pa.array(buckets < thresh)
         return (
             pa.Table.from_arrays(
                 [ids, pc.cast(batch.column("lang"), pa.string())],
@@ -320,9 +325,11 @@ def per_group_sample(documents_ds, k: int = 5):
     from parser_rdf_ray.stages.groups import grouped_topk
 
     def project(batch: pa.Table) -> pa.Table:
+        from parser_rdf_ray.md5vec import md5_low64_ids
+
         ids = pc.cast(batch.column("doc_id"), pa.int64())
         hashes = pa.array(
-            [_md5_low64(str(i)) % (1 << 63) for i in ids.to_pylist()],
+            (md5_low64_ids(ids) % np.uint64(1 << 63)).astype(np.int64),
             pa.int64(),
         )
         return pa.Table.from_arrays(
@@ -487,15 +494,15 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
     def grams(batch: pa.Table) -> pa.Table:
         import polars as pl
 
+        from parser_rdf_ray.md5vec import md5_low64_ids
+
         ids = pc.cast(batch.column("doc_id"), pa.int64())
-        is_eval = [
-            _md5_low64(str(i)) % 100 < eval_pct for i in ids.to_pylist()
-        ]
+        is_eval = md5_low64_ids(ids) % 100 < eval_pct
         df = pl.DataFrame(
             {
                 "doc_id": pl.from_arrow(ids),
                 "kind": pl.Series(
-                    [0 if e else 1 for e in is_eval], dtype=pl.Int8
+                    np.where(is_eval, 0, 1).astype(np.int8), dtype=pl.Int8
                 ),
                 "ts": pl.from_arrow(batch.column("text"))
                 .str.strip_chars()
@@ -553,10 +560,10 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
     )
 
     def train_ids(batch: pa.Table) -> pa.Table:
+        from parser_rdf_ray.md5vec import md5_low64_ids
+
         ids = pc.cast(batch.column("doc_id"), pa.int64())
-        keep = pa.array(
-            [_md5_low64(str(i)) % 100 >= eval_pct for i in ids.to_pylist()]
-        )
+        keep = pa.array(md5_low64_ids(ids) % 100 >= eval_pct)
         ids = ids.filter(keep)
         return pa.Table.from_arrays(
             [ids, pa.array(np.ones(len(ids), dtype=np.int8))], schema=hit_schema

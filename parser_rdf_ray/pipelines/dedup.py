@@ -606,10 +606,12 @@ def _md5_low64(token: str) -> int:
 
 def simhash64(text: str) -> int:
     """64-bit simhash over md5-low64 token hashes (SQL-reproducible)."""
+    from parser_rdf_ray.md5vec import md5_low64
+
     tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
     if not tokens:
         return 0
-    hashes = np.array([_md5_low64(t) for t in tokens], dtype=np.uint64)
+    hashes = md5_low64(pa.array(tokens, pa.string()))
     bits = ((hashes.reshape(-1, 1) >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
     return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
@@ -644,10 +646,10 @@ class SimHashBands:
 
         acc = np.zeros((n, 64), dtype=np.int64)
         if all_tokens:
+            from parser_rdf_ray.md5vec import md5_low64
+
             uniq, inv = np.unique(np.array(all_tokens, dtype=object), return_inverse=True)
-            uniq_hashes = np.fromiter(
-                (_md5_low64(u) for u in uniq), dtype=np.uint64, count=len(uniq)
-            )
+            uniq_hashes = md5_low64(pa.array(uniq, pa.string()))
             hashed = uniq_hashes[inv]
             shifts = np.arange(64, dtype=np.uint64)
             doc_lo = 0
@@ -893,14 +895,12 @@ def cross_corpus_dedup(documents_ds, existing_pct: int = 80):
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch.column("doc_id"), pa.int64())
+        from parser_rdf_ray.md5vec import md5_low64_ids
+
         digests = text_digest(batch.column("text"))
-        # md5 over the tiny doc_id strings stays per-row: it is the
-        # SQL-replayable split-membership contract (_md5_low64), not a
-        # corpus-text scan
-        existing = pa.array(
-            [_md5_low64(str(i)) % 100 < existing_pct for i in ids.to_pylist()],
-            pa.bool_(),
-        )
+        # SQL-replayable split-membership contract (md5-low64 of the
+        # decimal id), computed by the vectorized lane-parallel MD5
+        existing = pa.array(md5_low64_ids(ids) % 100 < existing_pct)
         kind = pc.cast(
             pc.if_else(existing, pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())),
             pa.int8(),

@@ -1243,18 +1243,15 @@ def orders_customer_bloom_join(sf_dir: str, m_bits: int = 1 << 17, k: int = 4):
     import ray
     import ray.data
 
-    from parser_rdf_ray.pipelines.dedup import _md5_low64
     from parser_rdf_ray.tuning import tune_data_context
 
     tune_data_context()
 
     def key_hashes(keys) -> np.ndarray:
         """(n, k) bit positions: k slices of one md5-low64 per key."""
-        h = np.fromiter(
-            (_md5_low64(str(int(x))) for x in keys),
-            dtype=np.uint64,
-            count=len(keys),
-        )
+        from parser_rdf_ray.md5vec import md5_low64_ids
+
+        h = md5_low64_ids(np.asarray(keys, dtype=np.int64))
         # k independent-ish positions from one 64-bit digest: h rotated
         # by 16*i bits, mod m (m a power of two)
         pos = np.empty((len(h), k), dtype=np.int64)

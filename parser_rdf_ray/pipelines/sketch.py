@@ -75,12 +75,23 @@ def approx_distinct(ds, key_col: str, p: int = 8):
     partial_schema = pa.schema([("bucket", pa.int64()), ("reg", pa.int64())])
 
     def partials(batch: pa.Table) -> pa.Table:
+        from parser_rdf_ray.md5vec import md5_low64, md5_low64_ids
+
         col = batch.column(key_col)
-        hashes = np.fromiter(
-            (_md5_low64(str(v)) for v in col.to_pylist()),
-            dtype=np.uint64,
-            count=batch.num_rows,
-        )
+        t = col.type
+        # str(v) of an int equals pyarrow's decimal cast; strings hash
+        # as-is — both take the vectorized path.  Other types keep the
+        # per-row str() fallback (no current caller hits it).
+        if pa.types.is_integer(t):
+            hashes = md5_low64_ids(pc.cast(col, pa.int64()))
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            hashes = md5_low64(col)
+        else:
+            hashes = np.fromiter(
+                (_md5_low64(str(v)) for v in col.to_pylist()),
+                dtype=np.uint64,
+                count=batch.num_rows,
+            )
         if len(hashes) == 0:
             return partial_schema.empty_table()
         bucket = (hashes >> np.uint64(rest_bits)).astype(np.int64)
@@ -170,13 +181,12 @@ def heavy_hitters(documents_ds, d: int = 4, w: int = 1024, k: int = 10):
         if not toks:
             return cell_schema.empty_table()
         cm = np.zeros((d, w), dtype=np.int64)
+        from parser_rdf_ray.md5vec import md5_low64_prefixed
+
         uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        uniq_arr = pa.array(uniq, pa.string())
         for j in range(d):
-            cols = np.fromiter(
-                (_md5_low64(f"{j}:{t}") % w for t in uniq),
-                dtype=np.int64,
-                count=len(uniq),
-            )
+            cols = (md5_low64_prefixed(f"{j}:", uniq_arr) % np.uint64(w)).astype(np.int64)
             np.add.at(cm[j], cols, counts)
         jj, cc = np.nonzero(cm)
         return pa.Table.from_arrays(
@@ -217,13 +227,12 @@ def heavy_hitters(documents_ds, d: int = 4, w: int = 1024, k: int = 10):
         terms = batch.column("term").to_pylist()
         if not terms:
             return CM_SCHEMA.empty_table()
+        from parser_rdf_ray.md5vec import md5_low64_prefixed
+
         est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+        terms_arr = pa.array(terms, pa.string())
         for j in range(d):
-            cols = np.fromiter(
-                (_md5_low64(f"{j}:{t}") % w for t in terms),
-                dtype=np.int64,
-                count=len(terms),
-            )
+            cols = (md5_low64_prefixed(f"{j}:", terms_arr) % np.uint64(w)).astype(np.int64)
             est = np.minimum(est, cm[j, cols])
         return pa.Table.from_arrays(
             [pa.array(terms, pa.string()), pa.array(est)], schema=CM_SCHEMA
