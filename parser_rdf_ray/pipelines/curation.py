@@ -41,7 +41,7 @@ def split_values(ids, train_pct: int) -> pa.Array:
 def _split_batch(batch: pa.Table, train_pct: int) -> pa.Table:
     ids = pc.cast(batch.column("doc_id"), pa.int64())
     return pa.Table.from_arrays(
-        [ids, split_values(ids.to_pylist(), train_pct)],
+        [ids, split_values(ids, train_pct)],
         names=["doc_id", "split"],
     )
 
@@ -58,20 +58,27 @@ def hash_split(documents_ds, train_pct: int = 90):
 
 
 def quality_filter(documents_ds, min_tokens: int = 20, min_alpha: float = 0.6):
-    """(doc_id, text) rows passing the quality gate: whitespace token
-    count ≥ min_tokens AND alphabetic-character ratio ≥ min_alpha — the
-    SHARED metric definitions from pipelines/text.py (n_tokens_of /
+    """(doc_id, text, n_tokens) rows passing the quality gate: whitespace
+    token count ≥ min_tokens AND alphabetic-character ratio ≥ min_alpha —
+    the SHARED metric definitions from pipelines/text.py (n_tokens_of /
     alpha_ratio_of), so the curation SQL oracle and quality_batch can
-    never drift apart."""
+    never drift apart.  The token count the gate already computed rides
+    along so downstream consumers (training_set's packing) never re-scan
+    the surviving text for it."""
     from parser_rdf_ray.pipelines.text import alpha_ratio_of, n_tokens_of
 
     def gate(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
+        toks = n_tokens_of(text)
         keep = pc.and_(
-            pc.greater_equal(n_tokens_of(text), min_tokens),
+            pc.greater_equal(toks, min_tokens),
             pc.greater_equal(alpha_ratio_of(text), min_alpha),
         )
-        return batch.filter(keep).select(["doc_id", "text"])
+        out = pa.Table.from_arrays(
+            [pc.cast(batch.column("doc_id"), pa.int64()), text, toks],
+            names=["doc_id", "text", "n_tokens"],
+        )
+        return out.filter(keep)
 
     return documents_ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -290,7 +297,7 @@ def curated_corpus_with_split(
         kept_in_run = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
         keep = (kinds == 1) & kept_in_run[run_ids]
         rows = batch.filter(pa.array(keep))
-        split = split_values(rows.column("doc_id").to_pylist(), train_pct)
+        split = split_values(rows.column("doc_id"), train_pct)
         return pa.Table.from_arrays(
             [
                 rows.column("doc_id"),
@@ -356,14 +363,19 @@ PACK_SCHEMA = pa.schema(
 )
 
 
-def pack_token_counts(counts_ds, seq_len: int, extra_cols: tuple = ()):
+def pack_token_counts(counts_ds, seq_len: int, extra_cols: tuple = (),
+                      assume_sorted: bool = False):
     """The packing core over a (doc_id, n_tokens[, extra...]) dataset:
     ONE doc_id sort range-partitions the stream; each block's token total
     (one int64) ships to the driver, which prefix-sums blocks×1 values
     into per-block starting offsets; a second pass over the pinned block
     refs assigns per-doc offsets with a numpy exclusive cumsum plus the
     block offset (the dense-rank two-pass shape — data moves once).
-    ``extra_cols`` pass through unchanged (e.g. the split label)."""
+    ``extra_cols`` pass through unchanged (e.g. the split label).
+    ``assume_sorted=True`` skips the sort for inputs already globally
+    doc_id-sorted (training_set's tail emits from a doc_id-sorted run
+    scan, and map_batches preserves block order) — fusing the composite's
+    final exchange away."""
     import numpy as np
     import ray
     import ray.data
@@ -378,7 +390,7 @@ def pack_token_counts(counts_ds, seq_len: int, extra_cols: tuple = ()):
          ("first_seq", pa.int64()), ("last_seq", pa.int64())]
         + [(c, pa.string()) for c in extra_cols]
     )
-    srt = counts_ds.sort("doc_id").materialize()
+    srt = (counts_ds if assume_sorted else counts_ds.sort("doc_id")).materialize()
     refs = [
         br for bundle in srt.iter_internal_ref_bundles() for br in bundle.block_refs
     ]
@@ -449,7 +461,25 @@ def pack_sequences(documents_ds, seq_len: int = 2048):
 DECONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("contaminated", pa.bool_())])
 
 
-def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
+# stop-gram guard default: a gram shared by more documents than this is
+# treated as a stop-gram (contributes no contamination edges) and logged —
+# the minhash BUCKET_CAP pattern. Bounds a sorted run at max_df × ~16-byte
+# rows (~16 MB at the default) so an adversarial stop-gram-heavy corpus at
+# small n cannot blow one range partition's output block. Must NEVER fire
+# at oracle scale (sf0.01 max df ≈ corpus size 5k ≪ 1M); override via
+# GRAFT_GRAM_DF_CAP for the guard test.
+GRAM_DF_CAP = 1_000_000
+
+
+def _gram_df_cap() -> int:
+    import os
+
+    env = os.environ.get("GRAFT_GRAM_DF_CAP")
+    return int(env) if env else GRAM_DF_CAP
+
+
+def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3,
+                  train_side_ds=None, max_df: int | None = None):
     """BENCHMARK DECONTAMINATION: flag every training document that
     shares any word n-gram with the EVAL set — the standard
     leakage check an LLM training pipeline runs against its benchmark
@@ -478,6 +508,24 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
     3. ONE doc_id sort existence-joins the hit set against all train
        doc_ids (duplicate hits are harmless: the run scan tests
        existence), yielding (doc_id, contaminated) for every train doc.
+
+    ``train_side_ds``: optional (doc_id, text, ...) dataset to build the
+    TRAIN side from instead of documents_ds — training_set passes its
+    quality-gate survivors, so grams are never built (or shuffled) for
+    documents curation already dropped. The eval side always scans the
+    full corpus (the benchmark set is defined over it), but emits only
+    eval rows, so the eval scan ships eval_pct% of the gram volume. The
+    verdict then covers train docs OF THE TRAIN SIDE only — identical on
+    the intersection, which is all a downstream keep-set meet reads.
+
+    ``max_df`` (default GRAM_DF_CAP / $GRAFT_GRAM_DF_CAP): a gram whose
+    sorted run exceeds this document frequency is treated as a STOP-GRAM
+    — skipped entirely and counted in a worker-log warning (the minhash
+    BUCKET_CAP pattern). Deterministic: the gram sort co-partitions each
+    gram's full run into one block (batch_size=None), so the run length
+    IS the global df, not a batch accident. Skipping can only under-flag
+    (a doc contaminated solely via a stop-gram is missed), the same
+    direction as the documented production guidance of n = 8–13.
     """
     import numpy as np
 
@@ -486,57 +534,94 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if max_df is None:
+        max_df = _gram_df_cap()
     tune_data_context()
     gram_schema = pa.schema(
         [("gram", pa.string()), ("doc_id", pa.int64()), ("kind", pa.int8())]
     )
 
-    def grams(batch: pa.Table) -> pa.Table:
-        import polars as pl
+    def gram_builder(side: str):
+        """side: 'both' (single-scan default), 'eval' (emit kind-0 rows
+        only), or 'train' (emit kind-1 rows only)."""
 
-        from parser_rdf_ray.md5vec import md5_low64_ids
+        def grams(batch: pa.Table) -> pa.Table:
+            import polars as pl
 
-        ids = pc.cast(batch.column("doc_id"), pa.int64())
-        is_eval = md5_low64_ids(ids) % 100 < eval_pct
-        df = pl.DataFrame(
-            {
-                "doc_id": pl.from_arrow(ids),
-                "kind": pl.Series(
-                    np.where(is_eval, 0, 1).astype(np.int8), dtype=pl.Int8
-                ),
-                "ts": pl.from_arrow(batch.column("text"))
-                .str.strip_chars()
-                .str.extract_all(r"\S+"),
-            }
-        )
-        ex = df.explode("ts", empty_as_null=True)
-        shifts = [
-            pl.col("ts").shift(-k).over("doc_id").alias(f"_t{k}")
-            for k in range(1, n)
-        ]
-        gram_expr = pl.col("ts")
-        for k in range(1, n):
-            gram_expr = gram_expr + " " + pl.col(f"_t{k}")
-        ex = (
-            ex.with_columns(shifts)
-            .filter(
-                pl.col(f"_t{n - 1}").is_not_null()
-                if n > 1
-                else pl.col("ts").is_not_null()
+            from parser_rdf_ray.md5vec import md5_low64_ids
+
+            ids = pc.cast(batch.column("doc_id"), pa.int64())
+            is_eval = md5_low64_ids(ids) % 100 < eval_pct
+            df = pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(ids),
+                    "kind": pl.Series(
+                        np.where(is_eval, 0, 1).astype(np.int8), dtype=pl.Int8
+                    ),
+                    "text": pl.from_arrow(batch.column("text")),
+                }
             )
-            .with_columns(gram_expr.alias("gram"))
-            .select(["gram", "doc_id", "kind"])
-            .unique()
-        )
-        out = ex.to_arrow()
-        return pa.Table.from_arrays(
-            [pc.cast(out.column(f.name), f.type) for f in gram_schema],
-            schema=gram_schema,
-        )
+            # filter BEFORE tokenizing: the regex token scan is the
+            # expensive part, and a side-restricted scan keeps only its
+            # own rows (the eval scan would otherwise tokenize the whole
+            # corpus to ship 10% of it)
+            if side == "eval":
+                df = df.filter(pl.col("kind") == 0)
+            elif side == "train":
+                df = df.filter(pl.col("kind") == 1)
+            df = df.with_columns(
+                pl.col("text").str.strip_chars().str.extract_all(r"\S+").alias("ts")
+            ).drop("text")
+            ex = df.explode("ts", empty_as_null=True)
+            shifts = [
+                pl.col("ts").shift(-k).over("doc_id").alias(f"_t{k}")
+                for k in range(1, n)
+            ]
+            gram_expr = pl.col("ts")
+            for k in range(1, n):
+                gram_expr = gram_expr + " " + pl.col(f"_t{k}")
+            ex = (
+                ex.with_columns(shifts)
+                .filter(
+                    pl.col(f"_t{n - 1}").is_not_null()
+                    if n > 1
+                    else pl.col("ts").is_not_null()
+                )
+                .with_columns(gram_expr.alias("gram"))
+                .select(["gram", "doc_id", "kind"])
+                .unique()
+            )
+            out = ex.to_arrow()
+            return pa.Table.from_arrays(
+                [pc.cast(out.column(f.name), f.type) for f in gram_schema],
+                schema=gram_schema,
+            )
 
-    tagged = documents_ds.map_batches(
-        grams, batch_format="pyarrow", zero_copy_batch=True
-    )
+        return grams
+
+    from parser_rdf_ray.tuning import coalesce_blocks
+
+    if train_side_ds is None:
+        tagged = documents_ds.map_batches(
+            gram_builder("both"), batch_format="pyarrow", zero_copy_batch=True
+        )
+        train_universe_ds = documents_ds
+    else:
+        # union STACKS block counts (eval blocks + train blocks), and a Ray
+        # sort emits one output partition per input block — so the exchange's
+        # transfer count (in_blocks × out_partitions) would grow
+        # quadratically with every union. Coalesce to the tuned partition
+        # count first (streaming local merge, no all-to-all).
+        tagged = coalesce_blocks(
+            documents_ds.map_batches(
+                gram_builder("eval"), batch_format="pyarrow", zero_copy_batch=True
+            ).union(
+                train_side_ds.map_batches(
+                    gram_builder("train"), batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        )
+        train_universe_ds = train_side_ds
     srt = tagged.sort("gram")
     hit_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.int8())])
 
@@ -548,7 +633,20 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
         run_marks = np.zeros(batch.num_rows, dtype=np.int64)
         run_marks[starts] = 1
         run_ids = np.cumsum(run_marks) - 1
-        eval_in_run = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        run_lens = np.diff(np.concatenate([starts, [batch.num_rows]]))
+        over = run_lens > max_df
+        if over.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "decontaminate: %d stop-gram(s) over max_df=%d skipped "
+                "(largest run %d rows) — contamination via these grams "
+                "is not flagged; raise GRAFT_GRAM_DF_CAP or use larger n",
+                int(over.sum()), max_df, int(run_lens.max()),
+            )
+        eval_in_run = (
+            (np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0) & ~over
+        )
         hit = (kinds == 1) & eval_in_run[run_ids]
         ids = pc.unique(batch.column("doc_id").filter(pa.array(hit)))
         return pa.Table.from_arrays(
@@ -569,10 +667,12 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3):
             [ids, pa.array(np.ones(len(ids), dtype=np.int8))], schema=hit_schema
         )
 
-    docs = documents_ds.map_batches(
+    docs = train_universe_ds.map_batches(
         train_ids, batch_format="pyarrow", zero_copy_batch=True
     )
-    joined = hits.union(docs).sort("doc_id")
+    # same block-stacking consideration: hits inherits the gram sort's
+    # partition count, docs the scan's — coalesce before the verdict sort
+    joined = coalesce_blocks(hits.union(docs)).sort("doc_id")
 
     def verdict_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -615,110 +715,90 @@ def training_set(
     (pack_token_counts). Returns one row per surviving document:
     (doc_id, n_tokens, start_tok, first_seq, last_seq, split).
 
-    Composition stays shuffle-lean: the keep-set, the clean-set and the
-    document token counts meet through tagged-union sorted-run existence
-    scans (doc_id sorts of id-sized rows — text never re-shuffles), and
-    packing is the two-pass prefix over the final counts. Every stage's
-    contract is the one its standalone operator pins, so the composite's
-    SQL oracle is the composition of their oracle fragments."""
+    Composition stays shuffle-lean — tightened in round 5:
+    - decontamination's TRAIN-side grams build only over the quality-gate
+      survivors (train_side_ds) — grams are never constructed or shuffled
+      for documents the gate already dropped, and the eval scan emits only
+      eval rows; the final keep-set ∩ clean-set meet is unchanged because
+      kept ⊆ survivors.
+    - the keep-set, the clean-set and the survivor token counts meet in
+      ONE tagged-union doc_id sort (three id-sized inputs, one exchange —
+      formerly two consecutive sorts), whose run scan emits rows already
+      doc_id-sorted, so packing (pack_token_counts assume_sorted=True)
+      skips its sort too: three tail exchanges fused into one.
+    - token counts come from the quality gate's own scan (survivors carry
+      n_tokens) — the text is read exactly once end to end and never
+      re-shuffled.
+    Every stage's contract is the one its standalone operator pins, so the
+    composite's SQL oracle is the composition of their oracle fragments."""
     import numpy as np
 
-    from parser_rdf_ray.pipelines.text import n_tokens_of
     from parser_rdf_ray.stages.groups import run_spans
     from parser_rdf_ray.tuning import tune_data_context
 
     tune_data_context()
-    _, kept = curation_core(documents_ds, min_tokens, min_alpha, threshold)
-    verdict = decontaminate(documents_ds, eval_pct, n_gram)
+    survivors, kept = curation_core(documents_ds, min_tokens, min_alpha, threshold)
+    verdict = decontaminate(documents_ds, eval_pct, n_gram, train_side_ds=survivors)
 
-    pair_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.int8())])
+    # one 3-way tagged union: kind 0 = kept rep, kind 1 = decontam-clean,
+    # kind 2 = survivor count row (n_tokens + split payload)
+    union_schema = pa.schema(
+        [("doc_id", pa.int64()), ("kind", pa.int8()),
+         ("n_tokens", pa.int64()), ("split", pa.string())]
+    )
 
     def tag_kept(b: pa.Table) -> pa.Table:
         ids = pc.cast(b.column("doc_id"), pa.int64())
+        n = len(ids)
         return pa.Table.from_arrays(
-            [ids, pa.array(np.zeros(len(ids), dtype=np.int8))], schema=pair_schema
+            [ids, pa.array(np.zeros(n, dtype=np.int8)),
+             pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
+            schema=union_schema,
         )
 
     def tag_clean(b: pa.Table) -> pa.Table:
         keep = pc.equal(b.column("contaminated"), pa.scalar(False))
         ids = pc.cast(b.column("doc_id").filter(keep), pa.int64())
+        n = len(ids)
         return pa.Table.from_arrays(
-            [ids, pa.array(np.ones(len(ids), dtype=np.int8))], schema=pair_schema
+            [ids, pa.array(np.ones(n, dtype=np.int8)),
+             pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
+            schema=union_schema,
         )
 
-    tagged = kept.map_batches(
-        tag_kept, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        verdict.map_batches(tag_clean, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    srt = tagged.sort("doc_id")
-    id_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.int8())])
-
-    def intersect_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return id_schema.empty_table()
-        starts, _ = run_spans(batch, ["doc_id"])
-        kinds = batch.column("kind").to_numpy()
-        run_marks = np.zeros(batch.num_rows, dtype=np.int64)
-        run_marks[starts] = 1
-        run_ids = np.cumsum(run_marks) - 1
-        has0 = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
-        has1 = np.add.reduceat((kinds == 1).astype(np.int64), starts) > 0
-        both = has0 & has1
-        emit = (kinds == 0) & both[run_ids]  # one row per doc (sides distinct)
-        ids = batch.column("doc_id").filter(pa.array(emit))
-        return pa.Table.from_arrays(
-            [ids, pa.array(np.zeros(len(ids), dtype=np.int8))], schema=id_schema
-        )
-
-    final_ids = srt.map_batches(
-        intersect_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-
-    counts_schema = pa.schema(
-        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-         ("split", pa.string()), ("kind", pa.int8())]
-    )
-
-    def tag_doc_counts(b: pa.Table) -> pa.Table:
-        ids = pc.cast(b.column("doc_id"), pa.int64())
-        n = len(b)
-        return pa.Table.from_arrays(
-            [
-                ids,
-                n_tokens_of(b.column("text")),
-                split_values(ids.to_pylist(), train_pct),
-                pa.array(np.ones(n, dtype=np.int8)),
-            ],
-            schema=counts_schema,
-        )
-
-    def tag_final(b: pa.Table) -> pa.Table:
+    def tag_counts(b: pa.Table) -> pa.Table:
         ids = pc.cast(b.column("doc_id"), pa.int64())
         n = len(ids)
         return pa.Table.from_arrays(
-            [
-                ids,
-                pa.nulls(n, pa.int64()),
-                pa.nulls(n, pa.string()),
-                pa.array(np.zeros(n, dtype=np.int8)),
-            ],
-            schema=counts_schema,
+            [ids, pa.array(np.full(n, 2, dtype=np.int8)),
+             pc.cast(b.column("n_tokens"), pa.int64()),
+             split_values(ids, train_pct)],
+            schema=union_schema,
         )
 
-    joined = final_ids.map_batches(
-        tag_final, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        documents_ds.map_batches(
-            tag_doc_counts, batch_format="pyarrow", zero_copy_batch=True
+    from parser_rdf_ray.tuning import coalesce_blocks
+
+    # the 3-way union stacks each branch's block count (kept + verdict +
+    # counts ≈ 5× the scan's) and the sort fans out one partition per
+    # input block — coalesce first (see decontaminate's note)
+    tagged = (
+        kept.map_batches(tag_kept, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            verdict.map_batches(tag_clean, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .union(
+            survivors.map_batches(tag_counts, batch_format="pyarrow", zero_copy_batch=True)
         )
     )
-    jsrt = joined.sort("doc_id")
+    tagged = coalesce_blocks(tagged)
+    srt = tagged.sort("doc_id")
     out_counts = pa.schema(
         [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("split", pa.string())]
     )
 
-    def semi_block(batch: pa.Table) -> pa.Table:
+    def meet_block(batch: pa.Table) -> pa.Table:
+        """Emit the count row of every doc whose run holds kept AND clean
+        tags — the kept ∩ clean ∩ survivors meet in one scan."""
         if batch.num_rows == 0:
             return out_counts.empty_table()
         starts, _ = run_spans(batch, ["doc_id"])
@@ -726,15 +806,19 @@ def training_set(
         run_marks = np.zeros(batch.num_rows, dtype=np.int64)
         run_marks[starts] = 1
         run_ids = np.cumsum(run_marks) - 1
-        wanted = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
-        emit = (kinds == 1) & wanted[run_ids]
+        has_kept = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        has_clean = np.add.reduceat((kinds == 1).astype(np.int64), starts) > 0
+        both = has_kept & has_clean
+        emit = (kinds == 2) & both[run_ids]
         rows = batch.filter(pa.array(emit))
         return pa.Table.from_arrays(
             [rows.column("doc_id"), rows.column("n_tokens"), rows.column("split")],
             schema=out_counts,
         )
 
-    counts = jsrt.map_batches(
-        semi_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    counts = srt.map_batches(
+        meet_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return pack_token_counts(counts, seq_len, extra_cols=("split",))
+    # counts is globally doc_id-sorted (run scan over the sorted stream,
+    # map_batches preserves block order) — packing skips its sort
+    return pack_token_counts(counts, seq_len, extra_cols=("split",), assume_sorted=True)

@@ -2531,3 +2531,70 @@ class TestDecontaminateHotGram:
         trains = [i for i in range(n) if _md5_low64(str(i)) % 100 >= 10]
         assert sorted(out.doc_id) == trains
         assert out.contaminated.all()
+
+    def test_max_df_guard_skips_stop_grams(self, ray_session):
+        """With max_df forced low, the stop-gram run is SKIPPED (treated
+        as a stop-gram, logged) — docs contaminated only via it come back
+        clean, while contamination through sub-cap grams still flags."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import decontaminate
+
+        n = 300
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [f"common stop gram unique{i} tail{i}" for i in range(n)],
+            }
+        )
+        # doc 0 is eval at eval_pct=10? find one eval doc and give one
+        # train doc a PRIVATE shared 3-gram with it (df=2 < cap)
+        evals = [i for i in range(n) if _md5_low64(str(i)) % 100 < 10]
+        trains = [i for i in range(n) if _md5_low64(str(i)) % 100 >= 10]
+        e0, t0 = evals[0], trains[0]
+        docs.loc[docs.doc_id == e0, "text"] += " shared private gram"
+        docs.loc[docs.doc_id == t0, "text"] += " shared private gram"
+        out = decontaminate(
+            ray.data.from_pandas(docs).repartition(8), eval_pct=10, n=3, max_df=10
+        ).to_pandas().set_index("doc_id")
+        # the df=300 stop gram is over cap -> everyone clean EXCEPT t0,
+        # whose df=2 private gram still flags
+        assert bool(out.loc[t0, "contaminated"]) is True
+        others = out.drop(index=t0)
+        assert not others.contaminated.any()
+        # and the default cap must NOT fire on this corpus
+        out_def = decontaminate(
+            ray.data.from_pandas(docs).repartition(8), eval_pct=10, n=3
+        ).to_pandas()
+        assert out_def.contaminated.all()
+
+    def test_train_side_restriction_matches_full_on_intersection(self, ray_session):
+        """decontaminate(train_side_ds=subset) must agree with the full
+        run on every doc of the subset (the training_set composition
+        guarantee: kept ⊆ survivors)."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import decontaminate
+
+        n = 200
+        rng = np.random.default_rng(5)
+        vocab = [f"w{j}" for j in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(n)]
+        docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+        full = (
+            decontaminate(ray.data.from_pandas(docs).repartition(8), eval_pct=15, n=3)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        sub = docs[docs.doc_id % 3 != 0]  # arbitrary survivor subset
+        restricted = decontaminate(
+            ray.data.from_pandas(docs).repartition(8),
+            eval_pct=15,
+            n=3,
+            train_side_ds=ray.data.from_pandas(sub).repartition(4),
+        ).to_pandas().set_index("doc_id").sort_index()
+        # verdict covers exactly the subset's train docs…
+        assert set(restricted.index) == set(full.index) & set(sub.doc_id)
+        # …and agrees with the full run on all of them
+        assert restricted.contaminated.equals(
+            full.loc[restricted.index].contaminated
+        )
