@@ -911,6 +911,19 @@ def _q_corpus_training_set(sf_dir: str):
     return training_set(_flat_docs(sf_dir))
 
 
+def _q_corpus_training_set_gopher(sf_dir: str):
+    # the composite with the Gopher repetition profile active in the
+    # quality gate (Rae et al. 2021 rules, computed in the gate's own
+    # scan). Production thresholds are 30%/18% (dup-line / top-bigram);
+    # the synthetic corpus has no duplicate lines and top-bigram
+    # fractions maxing ~15%, so the driver query pins a BINDING 6%
+    # top-bigram bar (drops the most-repetitive ~10% of docs at both
+    # sweep scales — the threshold logic is exercised, not vacuous)
+    from parser_rdf_ray.pipelines.curation import training_set
+
+    return training_set(_flat_docs(sf_dir), max_dup_line_pct=30, max_top_bigram_pct=6)
+
+
 def _q_text_repetition(sf_dir: str):
     from parser_rdf_ray.pipelines.text import repetition_signals
 
@@ -948,7 +961,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cube": _q_rel_cube,
         "corpus_blocklist": _q_corpus_blocklist,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
-        "text_redact": _q_text_redact,
         "text_tfidf": _q_text_tfidf,
         "embedding_kmeans": _q_embedding_kmeans,
         "corpus_pack_sequences": _q_corpus_pack_sequences,
@@ -956,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_decontam": _q_corpus_decontam,
         "sketch_quantiles": _q_sketch_quantiles,
         "corpus_training_set": _q_corpus_training_set,
+        "corpus_training_set_gopher": _q_corpus_training_set_gopher,
         "text_repetition": _q_text_repetition,
         "text_postings": _q_text_postings,
         # --- family representatives, driver-green in r03 ---
@@ -1011,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_merge_join": _q_rel_merge_join,
         "rel_semi_join": _q_rel_semi_join,
         "corpus_stratified": _q_corpus_stratified,
+        "text_redact": _q_text_redact,
     }
 
 
@@ -2108,6 +2122,56 @@ SELECT doc_id, n_tokens, start_tok,
        split
 FROM cpre
 """
+
+    # the Gopher-profile composite: IDENTICAL pipeline SQL with the quality
+    # CTE extended by the integer-exact repetition thresholds (dup-line
+    # fraction <= 30%, top-bigram fraction <= 18%); built from the base
+    # string so the two composites can never drift apart structurally
+    _BASE_Q = r"""WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        / greatest(length(text), 1) >= 0.6
+),"""
+    _GOPHER_Q = r"""WITH RECURSIVE rl AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+rlc AS (SELECT doc_id, line, COUNT(*) AS c FROM rl GROUP BY doc_id, line),
+rls AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_lines
+  FROM rlc GROUP BY doc_id
+),
+rt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+rbg AS (
+  SELECT doc_id, array_to_string(ts[i.r : i.r + 1], ' ') AS gram
+  FROM rt, LATERAL (SELECT unnest(range(1, len(ts))) AS r) i
+  WHERE len(ts) >= 2
+),
+rbc AS (SELECT doc_id, gram, COUNT(*) AS c FROM rbg GROUP BY doc_id, gram),
+rbs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM rbc GROUP BY doc_id
+),
+rep AS (
+  SELECT rls.doc_id, rls.n_lines, rls.dup_lines,
+         COALESCE(rbs.n_bigrams, 0) AS n_bigrams,
+         COALESCE(rbs.top_bigram_count, 0) AS top_bigram_count
+  FROM rls LEFT JOIN rbs USING (doc_id)
+),
+q AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN rep USING (doc_id)
+  WHERE len(string_split_regex(trim(d.text), '\s+')) >= 20
+    AND length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0
+        / greatest(length(d.text), 1) >= 0.6
+    AND rep.dup_lines * 100 <= 30 * rep.n_lines
+    AND rep.top_bigram_count * 100 <= 6 * rep.n_bigrams
+),"""
+    assert _BASE_Q in sql["corpus_training_set"], "training_set base CTE drifted"
+    sql["corpus_training_set_gopher"] = sql["corpus_training_set"].replace(
+        _BASE_Q, _GOPHER_Q
+    )
 
     # Gopher-style within-document repetition: integer counts only, so
     # both sides are exact; bigram tokens are the shared whitespace

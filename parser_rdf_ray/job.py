@@ -57,12 +57,17 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument(
         "--pipeline",
-        choices=["kg", "corpus"],
+        choices=["kg", "corpus", "training-set"],
         default="kg",
         help="kg: KG build (default). corpus: training-data curation — "
         "quality gate → near-dup dedup → representatives ⋈ documents "
         "→ train/val split, written as resumable partitioned Parquet "
-        "with the curation-trust report in metrics.json",
+        "with the curation-trust report in metrics.json. training-set: "
+        "the full composite (quality → LSH reps → decontamination → "
+        "split → sequence packing) with EVERY stage boundary "
+        "lineage-checkpointed — a killed run resumes after the last "
+        "completed stage (requires --checkpoint-dir for mid-pipeline "
+        "resume; the final output is always resumable)",
     )
     args = ap.parse_args(argv)
 
@@ -92,6 +97,9 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.pipeline == "corpus":
         _run_corpus_job(args)
+        return
+    if args.pipeline == "training-set":
+        _run_training_set_job(args)
         return
 
     t0 = time.time()
@@ -240,6 +248,81 @@ def _run_corpus_job(args) -> None:
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(docs.count() / wall, 1) if wall > 0 else 0.0,
         **minhash_bucket_audit(survivors),
+    }
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        _json.dump(metrics, f, indent=1)
+    print(_json.dumps(metrics))
+    ray.shutdown()
+
+
+def _run_training_set_job(args) -> None:
+    """--pipeline training-set: the end-to-end composite with EVERY
+    expensive stage boundary checkpointed through state/lineage —
+    survivors (quality gate), kept (LSH cluster reps), decontam (gram
+    existence join) and the final packed output. A re-run with the same
+    --run-id skips every stage whose manifest is complete and re-reads
+    its partitioned Parquet, so a run killed during decontamination
+    resumes without re-running the quality scan or the LSH banding —
+    the round-4 gap (composite restarted from zero on failure)."""
+    import json as _json
+
+    import ray
+    import ray.data
+
+    from parser_rdf_ray.pipelines.curation import (
+        decontaminate,
+        keep_set,
+        quality_filter,
+        training_set_tail,
+    )
+    from parser_rdf_ray.state import lineage
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(
+        os.path.join(args.input, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ckpt = args.checkpoint_dir
+    phases: dict[str, float] = {}
+    resumed: dict[str, bool] = {}
+
+    def stage(name, ds):
+        """Checkpoint a stage boundary (or materialize when no
+        checkpoint dir is given) and record wall time + resume flag."""
+        t = time.time()
+        if ckpt:
+            out, was_resumed = lineage.checkpoint_stage(
+                ds, ckpt, name, fingerprint=args.run_id, run_id=args.run_id
+            )
+        else:
+            out, was_resumed = ds.materialize(), False
+        phases[f"{name}_sec"] = round(time.time() - t, 3)
+        resumed[name] = was_resumed
+        return out
+
+    survivors = stage("survivors", quality_filter(docs))
+    kept = stage("kept", keep_set(survivors))
+    verdict = stage("decontam", decontaminate(docs, train_side_ds=survivors))
+    final = training_set_tail(survivors, kept, verdict)
+    final_ds, resumed_final = lineage.checkpoint_stage(
+        final, args.output, "training_set", fingerprint=args.run_id, run_id=args.run_id
+    )
+    resumed["training_set"] = resumed_final
+    wall = time.time() - t0
+
+    manifest = lineage.read_manifest(args.output, "training_set") or {}
+    metrics = {
+        "run_id": args.run_id,
+        "pipeline": "training-set",
+        "input": args.input,
+        "docs_in": docs.count(),
+        "survivors": survivors.count(),
+        "kept": kept.count(),
+        "final_rows": manifest.get("total_rows", 0),
+        "partitions": len(manifest.get("partitions", [])),
+        "resumed_stages": resumed,
+        "wall_sec": round(wall, 3),
+        **phases,
+        "num_cpus": int(ray.cluster_resources().get("CPU", 0)),
     }
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
         _json.dump(metrics, f, indent=1)

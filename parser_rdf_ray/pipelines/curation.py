@@ -57,15 +57,40 @@ def hash_split(documents_ds, train_pct: int = 90):
     )
 
 
-def quality_filter(documents_ds, min_tokens: int = 20, min_alpha: float = 0.6):
+def quality_filter(
+    documents_ds,
+    min_tokens: int = 20,
+    min_alpha: float = 0.6,
+    max_dup_line_pct: int | None = None,
+    max_top_bigram_pct: int | None = None,
+):
     """(doc_id, text, n_tokens) rows passing the quality gate: whitespace
     token count ≥ min_tokens AND alphabetic-character ratio ≥ min_alpha —
     the SHARED metric definitions from pipelines/text.py (n_tokens_of /
     alpha_ratio_of), so the curation SQL oracle and quality_batch can
     never drift apart.  The token count the gate already computed rides
     along so downstream consumers (training_set's packing) never re-scan
-    the surviving text for it."""
-    from parser_rdf_ray.pipelines.text import alpha_ratio_of, n_tokens_of
+    the surviving text for it.
+
+    Optional GOPHER REPETITION PROFILE (Rae et al. 2021): when
+    max_dup_line_pct / max_top_bigram_pct are set, the SAME scan also
+    computes the within-document repetition counts (the
+    repetition_signals single source, pipelines/text.
+    repetition_counts_frame — one map_batches emits both signal sets, no
+    second text pass) and additionally requires
+        dup_lines × 100 ≤ max_dup_line_pct × n_lines
+        top_bigram_count × 100 ≤ max_top_bigram_pct × n_bigrams
+    — integer-exact inequalities (percent thresholds), so the SQL oracle
+    replays them without float comparisons."""
+    import polars as pl
+
+    from parser_rdf_ray.pipelines.text import (
+        alpha_ratio_of,
+        n_tokens_of,
+        repetition_counts_frame,
+    )
+
+    use_rep = max_dup_line_pct is not None or max_top_bigram_pct is not None
 
     def gate(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -74,6 +99,31 @@ def quality_filter(documents_ds, min_tokens: int = 20, min_alpha: float = 0.6):
             pc.greater_equal(toks, min_tokens),
             pc.greater_equal(alpha_ratio_of(text), min_alpha),
         )
+        if use_rep:
+            ids = pc.cast(batch.column("doc_id"), pa.int64())
+            rep = repetition_counts_frame(
+                pl.DataFrame(
+                    {"doc_id": pl.from_arrow(ids), "text": pl.from_arrow(text)}
+                )
+            )
+            # repetition_counts_frame sorts by doc_id; align back to
+            # batch row order with a searchsorted gather (doc_ids unique
+            # per batch by construction)
+            order = np.searchsorted(
+                rep["doc_id"].to_numpy(), np.asarray(ids, dtype=np.int64)
+            )
+            ok = np.ones(len(rep), dtype=bool)
+            if max_dup_line_pct is not None:
+                ok &= (
+                    rep["dup_lines"].to_numpy() * 100
+                    <= max_dup_line_pct * rep["n_lines"].to_numpy()
+                )
+            if max_top_bigram_pct is not None:
+                ok &= (
+                    rep["top_bigram_count"].to_numpy() * 100
+                    <= max_top_bigram_pct * rep["n_bigrams"].to_numpy()
+                )
+            keep = pc.and_(keep, pa.array(ok[order]))
         out = pa.Table.from_arrays(
             [pc.cast(batch.column("doc_id"), pa.int64()), text, toks],
             names=["doc_id", "text", "n_tokens"],
@@ -88,6 +138,8 @@ def curation_core(
     min_tokens: int = 20,
     min_alpha: float = 0.6,
     threshold: float = 0.8,
+    max_dup_line_pct: int | None = None,
+    max_top_bigram_pct: int | None = None,
 ):
     """(survivors, kept): quality gate → near-dup clustering over the
     SURVIVORS → one representative (component-min doc_id) per cluster —
@@ -101,17 +153,27 @@ def curation_core(
     materialize() — re-running the corpus read + regex gate 3× costs more
     than holding (doc_id, text) blocks in the object store, which spills
     to disk rather than OOMing when the survivor set outgrows memory."""
-    survivors = quality_filter(documents_ds, min_tokens, min_alpha).materialize()
-    clusters = near_dup_clusters(survivors, threshold=threshold)
+    survivors = quality_filter(
+        documents_ds, min_tokens, min_alpha,
+        max_dup_line_pct=max_dup_line_pct,
+        max_top_bigram_pct=max_top_bigram_pct,
+    ).materialize()
+    return survivors, keep_set(survivors, threshold)
+
+
+def keep_set(survivors_ds, threshold: float = 0.8):
+    """Keep-one-per-near-dup-cluster (doc_id) ids over a survivors
+    dataset: LSH clustering → component-min representative filter. The
+    checkpointable LSH stage of the composite (job.py training-set)."""
+    clusters = near_dup_clusters(survivors_ds, threshold=threshold)
 
     def keep_reps(batch: pa.Table) -> pa.Table:
         keep = pc.equal(batch.column("cluster_rep"), batch.column("doc_id"))
         return batch.filter(keep).select(["doc_id"])
 
-    kept = clusters.map_batches(
+    return clusters.map_batches(
         keep_reps, batch_format="pyarrow", zero_copy_batch=True
     )
-    return survivors, kept
 
 
 def curate_corpus(
@@ -706,6 +768,8 @@ def training_set(
     n_gram: int = 3,
     train_pct: int = 90,
     seq_len: int = 2048,
+    max_dup_line_pct: int | None = None,
+    max_top_bigram_pct: int | None = None,
 ):
     """THE END-TO-END TRAINING-SET BUILD — the deliverable all the corpus
     operators exist for, composed into one pipeline: quality gate →
@@ -730,16 +794,41 @@ def training_set(
       n_tokens) — the text is read exactly once end to end and never
       re-shuffled.
     Every stage's contract is the one its standalone operator pins, so the
-    composite's SQL oracle is the composition of their oracle fragments."""
+    composite's SQL oracle is the composition of their oracle fragments.
+
+    For job-level checkpoint-resume, the composite decomposes into
+    checkpointable stage datasets: quality_filter → (near_dup_clusters
+    reps) → decontaminate(train_side_ds=survivors) → training_set_tail —
+    job.py's ``--pipeline training-set`` writes each boundary through
+    state/lineage.checkpoint_stage so a killed run resumes after the last
+    completed stage."""
+    from parser_rdf_ray.tuning import tune_data_context
+
+    tune_data_context()
+    survivors, kept = curation_core(
+        documents_ds, min_tokens, min_alpha, threshold,
+        max_dup_line_pct=max_dup_line_pct,
+        max_top_bigram_pct=max_top_bigram_pct,
+    )
+    verdict = decontaminate(documents_ds, eval_pct, n_gram, train_side_ds=survivors)
+    return training_set_tail(survivors, kept, verdict, train_pct, seq_len)
+
+
+def training_set_tail(survivors, kept, verdict, train_pct: int = 90,
+                      seq_len: int = 2048):
+    """The composite's tail as a standalone stage over three boundary
+    datasets — survivors (doc_id, text?, n_tokens), kept (doc_id) and
+    verdict (doc_id, contaminated): ONE tagged-union doc_id sort whose
+    run scan emits the kept ∩ clean ∩ survivors count rows in sorted
+    order, then sort-free packing. Split out so job.py can resume from
+    lineage-checkpointed stage outputs (re-read from Parquet, any block
+    layout — the tail's own sort renormalizes)."""
     import numpy as np
 
     from parser_rdf_ray.stages.groups import run_spans
     from parser_rdf_ray.tuning import tune_data_context
 
     tune_data_context()
-    survivors, kept = curation_core(documents_ds, min_tokens, min_alpha, threshold)
-    verdict = decontaminate(documents_ds, eval_pct, n_gram, train_side_ds=survivors)
-
     # one 3-way tagged union: kind 0 = kept rep, kind 1 = decontam-clean,
     # kind 2 = survivor count row (n_tokens + split payload)
     union_schema = pa.schema(

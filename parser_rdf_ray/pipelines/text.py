@@ -470,6 +470,52 @@ REPETITION_SCHEMA = pa.schema(
 )
 
 
+def repetition_counts_frame(df):
+    """Per-doc repetition counts over a polars (doc_id, text) frame:
+    (doc_id, n_lines, dup_lines, n_bigrams, top_bigram_count), sorted by
+    doc_id. The SINGLE SOURCE for the Gopher signals — repetition_signals
+    and the curation quality gate's repetition profile both call this, so
+    the rule and its SQL oracle cannot drift between consumers. All
+    counts integer-exact; docs with < 2 tokens have 0 bigrams."""
+    import polars as pl
+
+    lines = (
+        df.select("doc_id", pl.col("text").str.split("\n").alias("line"))
+        .explode("line", empty_as_null=True)
+        .group_by("doc_id", "line")
+        .agg(pl.len().alias("c"))
+        .group_by("doc_id")
+        .agg(
+            pl.col("c").sum().alias("n_lines"),
+            (pl.col("c").sum() - pl.len()).alias("dup_lines"),
+        )
+    )
+    toks = df.select(
+        "doc_id",
+        pl.col("text").str.strip_chars().str.extract_all(r"\S+").alias("t"),
+    ).explode("t", empty_as_null=True)
+    bi = (
+        toks.with_columns(pl.col("t").shift(-1).over("doc_id").alias("t1"))
+        .filter(pl.col("t1").is_not_null())
+        .group_by("doc_id", "t", "t1")
+        .agg(pl.len().alias("c"))
+        .group_by("doc_id")
+        .agg(
+            pl.col("c").sum().alias("n_bigrams"),
+            pl.col("c").max().alias("top_bigram_count"),
+        )
+    )
+    return (
+        lines.join(bi, on="doc_id", how="left")
+        .with_columns(
+            pl.col("n_bigrams").fill_null(0),
+            pl.col("top_bigram_count").fill_null(0),
+        )
+        .sort("doc_id")
+        .rechunk()
+    )
+
+
 def repetition_signals(documents_ds):
     """WITHIN-DOCUMENT repetition signals (the Gopher/MassiveText
     quality rules, Rae et al. 2021): duplicate-line count and the
@@ -478,9 +524,9 @@ def repetition_signals(documents_ds):
     derive fractions), so the SQL oracle matches bit-for-bit.
 
     Scale shape: per-document computation only — ONE vectorized
-    map_batches (polars split/explode/group_by inside the block), no
-    shuffle at all. Tokens are the shared whitespace contract; lines
-    split on newline; docs with < 2 tokens have 0 bigrams."""
+    map_batches (polars split/explode/group_by inside the block,
+    repetition_counts_frame), no shuffle at all. Tokens are the shared
+    whitespace contract; lines split on newline."""
     import polars as pl
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -490,42 +536,7 @@ def repetition_signals(documents_ds):
                 "text": pl.from_arrow(batch.column("text")),
             }
         )
-        lines = (
-            df.select("doc_id", pl.col("text").str.split("\n").alias("line"))
-            .explode("line", empty_as_null=True)
-            .group_by("doc_id", "line")
-            .agg(pl.len().alias("c"))
-            .group_by("doc_id")
-            .agg(
-                pl.col("c").sum().alias("n_lines"),
-                (pl.col("c").sum() - pl.len()).alias("dup_lines"),
-            )
-        )
-        toks = df.select(
-            "doc_id",
-            pl.col("text").str.strip_chars().str.extract_all(r"\S+").alias("t"),
-        ).explode("t", empty_as_null=True)
-        bi = (
-            toks.with_columns(pl.col("t").shift(-1).over("doc_id").alias("t1"))
-            .filter(pl.col("t1").is_not_null())
-            .group_by("doc_id", "t", "t1")
-            .agg(pl.len().alias("c"))
-            .group_by("doc_id")
-            .agg(
-                pl.col("c").sum().alias("n_bigrams"),
-                pl.col("c").max().alias("top_bigram_count"),
-            )
-        )
-        out = (
-            lines.join(bi, on="doc_id", how="left")
-            .with_columns(
-                pl.col("n_bigrams").fill_null(0),
-                pl.col("top_bigram_count").fill_null(0),
-            )
-            .sort("doc_id")
-            .rechunk()
-        )
-        t = out.to_arrow()
+        t = repetition_counts_frame(df).to_arrow()
         return pa.Table.from_arrays(
             [pc.cast(t.column(f.name), f.type) for f in REPETITION_SCHEMA],
             schema=REPETITION_SCHEMA,

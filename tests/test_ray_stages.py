@@ -1220,6 +1220,81 @@ class TestLineageKeyBounds:
             assert tup(by_tuple[i]["last_row"]) < tup(by_tuple[i + 1]["first_row"])
 
 
+class TestTrainingSetCheckpointResume:
+    def test_kill_and_resume_skips_stages_bit_identical(self, ray_session, tmp_path):
+        """The composite's stage boundaries (survivors → kept → decontam →
+        tail) each checkpoint through state/lineage: a run killed after
+        decontamination must resume WITHOUT re-running earlier stages and
+        produce bit-identical final output (the job.py --pipeline
+        training-set decomposition)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import (
+            decontaminate,
+            keep_set,
+            quality_filter,
+            training_set,
+            training_set_tail,
+        )
+        from parser_rdf_ray.state import lineage
+
+        rng = np.random.default_rng(11)
+        vocab = [f"word{j}" for j in range(60)]
+        docs_df = pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(300)],
+            }
+        )
+
+        def docs():
+            return ray.data.from_pandas(docs_df).repartition(8)
+
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            survivors, r1 = lineage.checkpoint_stage(
+                quality_filter(docs()), ckpt, "survivors", "r1", "r1"
+            )
+            kept, r2 = lineage.checkpoint_stage(
+                keep_set(survivors), ckpt, "kept", "r1", "r1"
+            )
+            verdict, r3 = lineage.checkpoint_stage(
+                decontaminate(docs(), train_side_ds=survivors),
+                ckpt, "decontam", "r1", "r1",
+            )
+            out = (
+                training_set_tail(survivors, kept, verdict)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            return out, (r1, r2, r3)
+
+        first, flags1 = run()
+        assert flags1 == (False, False, False)
+        # "kill" after decontam: all three manifests are complete; a rerun
+        # must skip every stage and rebuild only the tail
+        second, flags2 = run()
+        assert flags2 == (True, True, True)
+        assert first.equals(second)
+        # and the staged decomposition equals the monolithic composite
+        mono = (
+            training_set(docs())
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert first.equals(mono)
+        # interrupted-stage semantics: a mismatched fingerprint re-runs
+        _, r = lineage.checkpoint_stage(
+            quality_filter(docs()), ckpt, "survivors", "DIFFERENT", "r2"
+        )
+        assert r is False
+
+
 class TestIncrementalMergePruned:
     def test_pruned_merge_equals_full_build(self, ray_session, docs, tmp_path):
         import pathlib

@@ -2384,6 +2384,77 @@ class TestTrainingSetComposite:
         assert (srt.first_seq == srt.start_tok // 16).all()
 
 
+class TestGopherQualityProfile:
+    def _docs(self):
+        def words(prefix, n):
+            return " ".join(
+                f"{prefix}{chr(97 + j % 26)}{chr(97 + (j // 26) % 26)}"
+                for j in range(n)
+            )
+
+        # doc 0: clean multi-line prose — passes everything
+        clean = "\n".join(words(f"l{k}", 10) for k in range(4))
+        # doc 1: boilerplate — same line repeated 10 times (dup-line
+        # fraction 90% > 30%)
+        dupline = "\n".join([words("dup", 10)] * 10)
+        # doc 2: looping generation — one bigram dominates (top-bigram
+        # fraction far above 18%)
+        loop = " ".join(["spam ham"] * 20) + " " + words("x", 5)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1, 2], dtype=np.int64),
+                "text": [clean, dupline, loop],
+            }
+        )
+
+    def test_repetition_rules_fire_in_gate(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import quality_filter
+
+        docs = self._docs()
+        base = quality_filter(ray.data.from_pandas(docs)).to_pandas()
+        assert sorted(base.doc_id) == [0, 1, 2]  # length/alpha alone keep all
+        gated = quality_filter(
+            ray.data.from_pandas(docs), max_dup_line_pct=30, max_top_bigram_pct=18
+        ).to_pandas()
+        assert sorted(gated.doc_id) == [0]  # both repetition rules fired
+
+    def test_gate_thresholds_match_repetition_signals(self, ray_session):
+        """The gate's keep decision must equal thresholding the standalone
+        repetition_signals output — same single-source counts."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import quality_filter
+        from parser_rdf_ray.pipelines.text import repetition_signals
+
+        docs = self._docs()
+        sig = repetition_signals(ray.data.from_pandas(docs)).to_pandas().set_index("doc_id")
+        expect = sig[
+            (sig.dup_lines * 100 <= 30 * sig.n_lines)
+            & (sig.top_bigram_count * 100 <= 18 * sig.n_bigrams)
+        ].index
+        gated = quality_filter(
+            ray.data.from_pandas(docs), max_dup_line_pct=30, max_top_bigram_pct=18
+        ).to_pandas()
+        assert sorted(gated.doc_id) == sorted(expect)
+
+    def test_single_threshold_variants(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import quality_filter
+
+        docs = self._docs()
+        only_lines = quality_filter(
+            ray.data.from_pandas(docs), max_dup_line_pct=30
+        ).to_pandas()
+        assert sorted(only_lines.doc_id) == [0, 2]
+        only_bigram = quality_filter(
+            ray.data.from_pandas(docs), max_top_bigram_pct=18
+        ).to_pandas()
+        assert sorted(only_bigram.doc_id) == [0, 1]
+
+
 class TestClaimedCodecPaths:
     def test_jpeg_422_constant_color(self):
         """4:2:2 (h=2, v=1 luma) — claimed, now pinned via a hand-built
