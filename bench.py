@@ -69,6 +69,8 @@ def _warmup(num_cpus: int) -> None:
         import pyarrow.compute  # noqa: F401
 
         import parser_rdf_ray.formats.ntriples  # noqa: F401
+        import parser_rdf_ray.md5vec  # noqa: F401
+        import parser_rdf_ray.pipelines.curation  # noqa: F401
         import parser_rdf_ray.pipelines.dedup  # noqa: F401
         import parser_rdf_ray.pipelines.kg_build  # noqa: F401
         import parser_rdf_ray.pipelines.multimodal  # noqa: F401
