@@ -51,6 +51,12 @@ _G = [
 # the bit length)
 SINGLE_BLOCK_MAX = 55
 
+# below this many rows the per-row hashlib loop is FASTER than the lane
+# path: the 64 rounds cost ~768 numpy ufunc dispatches (~0.4 ms) however
+# few the lanes, while hashlib is ~0.6 µs/row (measured crossover ~1k;
+# n=16 loop wins 37×, n=16k lanes win 2.6×). Bits identical either way.
+VECTOR_MIN_ROWS = 1024
+
 
 # lanes per slab: measured sweep (1M tokens, this VM) bottoms at 2^14 —
 # the ~9 live uint32 work arrays (~0.6 MB) sit in L2, vs DRAM-streaming
@@ -173,6 +179,10 @@ def md5_low64(values) -> np.ndarray:
 
     lens = np.diff(offsets)
     out = np.empty(n, dtype=np.uint64)
+    if n < VECTOR_MIN_ROWS:
+        for i in range(n):
+            out[i] = _scalar_low64(data[offsets[i] : offsets[i + 1]].tobytes())
+        return out
     small = lens <= SINGLE_BLOCK_MAX
     ns = int(small.sum())
     if ns:

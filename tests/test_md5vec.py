@@ -31,6 +31,15 @@ def ref64(msg: bytes) -> int:
     return int.from_bytes(hashlib.md5(msg).digest()[8:16], "little")
 
 
+@pytest.fixture(autouse=True)
+def force_vector_path(monkeypatch):
+    """Exactness tests must exercise the LANE path: without this, inputs
+    under VECTOR_MIN_ROWS take the per-row hashlib fallback and the
+    vectorized MD5 goes untested. test_small_batch_fallback pins the
+    other side."""
+    monkeypatch.setattr(md5vec, "VECTOR_MIN_ROWS", 0)
+
+
 class TestBitExactness:
     def test_every_length_0_to_200(self):
         rng = random.Random(7)
@@ -39,6 +48,14 @@ class TestBitExactness:
         got = md5_low64(pa.array(msgs, pa.binary()))
         exp = np.array([ref64(m) for m in msgs], dtype=np.uint64)
         assert np.array_equal(got, exp)
+
+    def test_small_batch_fallback_matches(self, monkeypatch):
+        # restore the real threshold: a sub-threshold batch takes the
+        # per-row loop and must produce the same bits as the lane path
+        monkeypatch.setattr(md5vec, "VECTOR_MIN_ROWS", 1024)
+        strs = [f"id{i}" for i in range(50)] + ["ünï", "x" * 80]
+        got = md5_low64(strs)
+        assert [int(v) for v in got] == [ref64(s.encode()) for s in strs]
 
     def test_single_block_boundary(self):
         msgs = ["x" * SINGLE_BLOCK_MAX, "y" * (SINGLE_BLOCK_MAX + 1), ""]
