@@ -2125,8 +2125,10 @@ FROM cpre
 
     # the Gopher-profile composite: IDENTICAL pipeline SQL with the quality
     # CTE extended by the integer-exact repetition thresholds (dup-line
-    # fraction <= 30%, top-bigram fraction <= 18%); built from the base
-    # string so the two composites can never drift apart structurally
+    # fraction <= 30%, top-bigram fraction <= 6% — the BINDING bar
+    # _q_corpus_training_set_gopher passes; these two numbers and the
+    # query's kwargs must move together); built from the base string so
+    # the two composites can never drift apart structurally
     _BASE_Q = r"""WITH RECURSIVE q AS (
   SELECT doc_id, text FROM documents
   WHERE len(string_split_regex(trim(text), '\s+')) >= 20

@@ -285,28 +285,37 @@ def _run_training_set_job(args) -> None:
     phases: dict[str, float] = {}
     resumed: dict[str, bool] = {}
 
-    def stage(name, ds):
-        """Checkpoint a stage boundary (or materialize when no
-        checkpoint dir is given) and record wall time + resume flag."""
+    def stage(name, make_ds, out_dir=None):
+        """Checkpoint a stage boundary and record wall time + resume flag.
+        ``make_ds`` is a THUNK: keep_set() and training_set_tail() do
+        eager driver work (LSH pair collect / pack's two passes) at
+        CONSTRUCTION time, so a completed stage must short-circuit on its
+        manifest BEFORE the dataset is built — otherwise a resume silently
+        redoes the expensive work and discards it."""
+        base = out_dir or ckpt
         t = time.time()
-        if ckpt:
+        if base and lineage.is_complete(base, name, args.run_id):
+            import ray.data as _rd
+
+            out, was_resumed = _rd.read_parquet(lineage.stage_dir(base, name)), True
+        elif base:
             out, was_resumed = lineage.checkpoint_stage(
-                ds, ckpt, name, fingerprint=args.run_id, run_id=args.run_id
+                make_ds(), base, name, fingerprint=args.run_id, run_id=args.run_id
             )
         else:
-            out, was_resumed = ds.materialize(), False
+            out, was_resumed = make_ds().materialize(), False
         phases[f"{name}_sec"] = round(time.time() - t, 3)
         resumed[name] = was_resumed
         return out
 
-    survivors = stage("survivors", quality_filter(docs))
-    kept = stage("kept", keep_set(survivors))
-    verdict = stage("decontam", decontaminate(docs, train_side_ds=survivors))
-    final = training_set_tail(survivors, kept, verdict)
-    final_ds, resumed_final = lineage.checkpoint_stage(
-        final, args.output, "training_set", fingerprint=args.run_id, run_id=args.run_id
+    survivors = stage("survivors", lambda: quality_filter(docs))
+    kept = stage("kept", lambda: keep_set(survivors))
+    verdict = stage("decontam", lambda: decontaminate(docs, train_side_ds=survivors))
+    final_ds = stage(
+        "training_set",
+        lambda: training_set_tail(survivors, kept, verdict),
+        out_dir=args.output,
     )
-    resumed["training_set"] = resumed_final
     wall = time.time() - t0
 
     manifest = lineage.read_manifest(args.output, "training_set") or {}

@@ -100,30 +100,40 @@ def quality_filter(
             pc.greater_equal(alpha_ratio_of(text), min_alpha),
         )
         if use_rep:
-            ids = pc.cast(batch.column("doc_id"), pa.int64())
-            rep = repetition_counts_frame(
-                pl.DataFrame(
-                    {"doc_id": pl.from_arrow(ids), "text": pl.from_arrow(text)}
+            # the thresholds AND with the cheap gates, so repetition
+            # counts (the expensive line-split + bigram group_by) are
+            # only computed for rows the length/alpha gates KEPT —
+            # tokenize-after-filter, result-identical
+            keep_np = np.asarray(pc.fill_null(keep, False)).astype(bool)
+            kept_pos = np.flatnonzero(keep_np)
+            if len(kept_pos):
+                ids = pc.cast(batch.column("doc_id"), pa.int64())
+                sub_ids = np.asarray(ids, dtype=np.int64)[kept_pos]
+                rep = repetition_counts_frame(
+                    pl.DataFrame(
+                        {
+                            "doc_id": pl.Series(sub_ids),
+                            "text": pl.from_arrow(text.take(pa.array(kept_pos))),
+                        }
+                    )
                 )
-            )
-            # repetition_counts_frame sorts by doc_id; align back to
-            # batch row order with a searchsorted gather (doc_ids unique
-            # per batch by construction)
-            order = np.searchsorted(
-                rep["doc_id"].to_numpy(), np.asarray(ids, dtype=np.int64)
-            )
-            ok = np.ones(len(rep), dtype=bool)
-            if max_dup_line_pct is not None:
-                ok &= (
-                    rep["dup_lines"].to_numpy() * 100
-                    <= max_dup_line_pct * rep["n_lines"].to_numpy()
-                )
-            if max_top_bigram_pct is not None:
-                ok &= (
-                    rep["top_bigram_count"].to_numpy() * 100
-                    <= max_top_bigram_pct * rep["n_bigrams"].to_numpy()
-                )
-            keep = pc.and_(keep, pa.array(ok[order]))
+                # repetition_counts_frame sorts by doc_id; align back to
+                # the kept-row order with a searchsorted gather (doc_ids
+                # unique per batch by construction)
+                order = np.searchsorted(rep["doc_id"].to_numpy(), sub_ids)
+                ok = np.ones(len(rep), dtype=bool)
+                if max_dup_line_pct is not None:
+                    ok &= (
+                        rep["dup_lines"].to_numpy() * 100
+                        <= max_dup_line_pct * rep["n_lines"].to_numpy()
+                    )
+                if max_top_bigram_pct is not None:
+                    ok &= (
+                        rep["top_bigram_count"].to_numpy() * 100
+                        <= max_top_bigram_pct * rep["n_bigrams"].to_numpy()
+                    )
+                keep_np[kept_pos] = ok[order]
+                keep = pa.array(keep_np)
         out = pa.Table.from_arrays(
             [pc.cast(batch.column("doc_id"), pa.int64()), text, toks],
             names=["doc_id", "text", "n_tokens"],
@@ -434,10 +444,19 @@ def pack_token_counts(counts_ds, seq_len: int, extra_cols: tuple = (),
     refs assigns per-doc offsets with a numpy exclusive cumsum plus the
     block offset (the dense-rank two-pass shape — data moves once).
     ``extra_cols`` pass through unchanged (e.g. the split label).
-    ``assume_sorted=True`` skips the sort for inputs already globally
-    doc_id-sorted (training_set's tail emits from a doc_id-sorted run
-    scan, and map_batches preserves block order) — fusing the composite's
-    final exchange away."""
+    ``assume_sorted=True`` skips the sort for inputs whose BLOCKS are each
+    internally doc_id-sorted with mutually disjoint key ranges (the output
+    of a doc_id sort mapped block-per-batch — training_set's tail) —
+    fusing the composite's final exchange away.
+
+    Block-ORDER hazard: Ray's streaming executor does NOT guarantee the
+    materialized block list arrives in logical order (default
+    preserve_order=False returns blocks in task-completion order — a
+    loaded machine WILL scramble them). The metadata pass therefore ships
+    each block's min doc_id alongside its token total and the driver
+    re-orders the ref list by key before prefix-summing — deterministic
+    regardless of completion order, in both the sorted and assume_sorted
+    paths."""
     import numpy as np
     import ray
     import ray.data
@@ -458,12 +477,25 @@ def pack_token_counts(counts_ds, seq_len: int, extra_cols: tuple = (),
     ]
 
     @ray.remote
-    def block_total(block: pa.Table) -> int:
+    def block_total(block: pa.Table):
+        """(token total, min doc_id) — the min key orders the blocks."""
         if block.num_rows == 0:
-            return 0
-        return int(pc.sum(block.column("n_tokens")).as_py())
+            return 0, None
+        return (
+            int(pc.sum(block.column("n_tokens")).as_py()),
+            int(pc.min(block.column("doc_id")).as_py()),
+        )
 
-    totals = ray.get([block_total.remote(r) for r in refs])
+    stats = ray.get([block_total.remote(r) for r in refs])
+    # restore logical order: blocks are internally sorted with disjoint
+    # ranges, so sorting refs by min doc_id IS the global doc_id order
+    # (empty blocks contribute nothing; order them last)
+    order = sorted(
+        range(len(refs)),
+        key=lambda i: (stats[i][1] is None, stats[i][1] if stats[i][1] is not None else 0),
+    )
+    refs = [refs[i] for i in order]
+    totals = [stats[i][0] for i in order]
     offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
 
     @ray.remote
@@ -523,23 +555,6 @@ def pack_sequences(documents_ds, seq_len: int = 2048):
 DECONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("contaminated", pa.bool_())])
 
 
-# stop-gram guard default: a gram shared by more documents than this is
-# treated as a stop-gram (contributes no contamination edges) and logged —
-# the minhash BUCKET_CAP pattern. Bounds a sorted run at max_df × ~16-byte
-# rows (~16 MB at the default) so an adversarial stop-gram-heavy corpus at
-# small n cannot blow one range partition's output block. Must NEVER fire
-# at oracle scale (sf0.01 max df ≈ corpus size 5k ≪ 1M); override via
-# GRAFT_GRAM_DF_CAP for the guard test.
-GRAM_DF_CAP = 1_000_000
-
-
-def _gram_df_cap() -> int:
-    import os
-
-    env = os.environ.get("GRAFT_GRAM_DF_CAP")
-    return int(env) if env else GRAM_DF_CAP
-
-
 def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3,
                   train_side_ds=None, max_df: int | None = None):
     """BENCHMARK DECONTAMINATION: flag every training document that
@@ -580,7 +595,7 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3,
     verdict then covers train docs OF THE TRAIN SIDE only — identical on
     the intersection, which is all a downstream keep-set meet reads.
 
-    ``max_df`` (default GRAM_DF_CAP / $GRAFT_GRAM_DF_CAP): a gram whose
+    ``max_df`` (default tuning.gram_df_cap / $GRAFT_GRAM_DF_CAP): a gram whose
     sorted run exceeds this document frequency is treated as a STOP-GRAM
     — skipped entirely and counted in a worker-log warning (the minhash
     BUCKET_CAP pattern). Deterministic: the gram sort co-partitions each
@@ -597,7 +612,9 @@ def decontaminate(documents_ds, eval_pct: int = 10, n: int = 3,
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if max_df is None:
-        max_df = _gram_df_cap()
+        from parser_rdf_ray.tuning import gram_df_cap
+
+        max_df = gram_df_cap()
     tune_data_context()
     gram_schema = pa.schema(
         [("gram", pa.string()), ("doc_id", pa.int64()), ("kind", pa.int8())]

@@ -75,17 +75,22 @@ def approx_distinct(ds, key_col: str, p: int = 8):
     partial_schema = pa.schema([("bucket", pa.int64()), ("reg", pa.int64())])
 
     def partials(batch: pa.Table) -> pa.Table:
-        from parser_rdf_ray.md5vec import md5_low64, md5_low64_ids
+        from parser_rdf_ray.md5vec import md5_low64
 
         col = batch.column(key_col)
         t = col.type
         # str(v) of an int equals pyarrow's decimal cast; strings hash
-        # as-is — both take the vectorized path.  Other types keep the
-        # per-row str() fallback (no current caller hits it).
-        if pa.types.is_integer(t):
-            hashes = md5_low64_ids(pc.cast(col, pa.int64()))
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            hashes = md5_low64(col)
+        # as-is — both take the vectorized path.  Nulls hash as the string
+        # "None" (the historical str(None) contract — md5_low64 itself
+        # rejects nulls, so fill first).  Other types keep the per-row
+        # str() fallback (no current caller hits it).
+        if pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t):
+            s = col if pa.types.is_string(t) or pa.types.is_large_string(t) else pc.cast(
+                pc.cast(col, pa.int64()), pa.string()
+            )
+            if s.null_count:
+                s = pc.fill_null(s, "None")
+            hashes = md5_low64(s)
         else:
             hashes = np.fromiter(
                 (_md5_low64(str(v)) for v in col.to_pylist()),

@@ -120,6 +120,22 @@ def salted_merge_min() -> int:
     return 1_000_000
 
 
+def gram_df_cap() -> int:
+    """Stop-gram guard bound for decontaminate: a gram whose sorted run
+    (global document frequency — the sort co-partitions full runs)
+    exceeds this is treated as a stop-gram, skipped and logged (the
+    minhash BUCKET_CAP pattern), bounding one range partition's run at
+    cap × ~16-byte rows. Must never fire at oracle scale (sf corpus max
+    df ≈ 5k ≪ 1M). GRAFT_GRAM_DF_CAP overrides (tests force it low to
+    pin the guard)."""
+    import os
+
+    env = os.environ.get("GRAFT_GRAM_DF_CAP")
+    if env is not None:
+        return int(env)
+    return 1_000_000
+
+
 def coalesce_blocks(ds, target_rows: int = 1 << 20):
     """Streaming block coalescer: an identity map_batches whose
     batch_size makes Ray BUNDLE many small input blocks into one task

@@ -118,3 +118,32 @@ class TestIdAndPrefixForms:
 
         for s in ["token", "42", "ünï"]:
             assert _md5_low64(s) == int(md5_low64([s])[0])
+
+
+class TestHypothesisFuzz:
+    """Property fuzz: the lane path must agree with hashlib on ARBITRARY
+    byte strings and unicode text (any length, any alignment mix within
+    one batch)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=40))
+    def test_arbitrary_bytes(self, msgs):
+        got = md5_low64(pa.array(msgs, pa.binary()))
+        assert [int(v) for v in got] == [ref64(m) for m in msgs]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=40))
+    def test_arbitrary_unicode(self, strs):
+        got = md5_low64(strs)
+        assert [int(v) for v in got] == [ref64(s.encode()) for s in strs]
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40))
+    def test_arbitrary_ids(self, ids):
+        import numpy as np
+
+        got = md5_low64_ids(np.array(ids, dtype=np.int64))
+        assert [int(v) for v in got] == [ref64(str(i).encode()) for i in ids]

@@ -1425,6 +1425,55 @@ class TestNtile:
 
 
 class TestPackSequences:
+    def test_assume_sorted_survives_scrambled_block_order(self, ray_session):
+        """Ray's streaming executor returns materialized blocks in
+        task-completion order (preserve_order=False default), NOT logical
+        order — pack must re-order refs by each block's min doc_id before
+        prefix-summing. Feed blocks deliberately OUT of order (each block
+        internally sorted, ranges disjoint — the assume_sorted contract)
+        and require the globally-correct offsets."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import pack_token_counts
+
+        blocks = [
+            pa.Table.from_pydict(  # doc_ids 20-29
+                {"doc_id": list(range(20, 30)),
+                 "n_tokens": [3] * 10,
+                 "split": ["train"] * 10}
+            ),
+            pa.Table.from_pydict(  # doc_ids 0-9
+                {"doc_id": list(range(0, 10)),
+                 "n_tokens": [5] * 10,
+                 "split": ["train"] * 10}
+            ),
+            pa.Table.from_pydict(  # empty block in the middle
+                {"doc_id": [], "n_tokens": [], "split": []}
+            ).cast(pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                              ("split", pa.string())])),
+            pa.Table.from_pydict(  # doc_ids 10-19
+                {"doc_id": list(range(10, 20)),
+                 "n_tokens": [2] * 10,
+                 "split": ["val"] * 10}
+            ),
+        ]
+        ds = ray.data.from_arrow(blocks)  # block list order: 20s, 0s, [], 10s
+        out = (
+            pack_token_counts(ds, seq_len=16, extra_cols=("split",), assume_sorted=True)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 30
+        # global doc_id order: 10 docs x5 tokens, then x2, then x3
+        n = out.n_tokens.to_numpy()
+        assert n.tolist() == [5] * 10 + [2] * 10 + [3] * 10
+        import numpy as np
+
+        expect_start = np.concatenate([[0], np.cumsum(n)[:-1]])
+        assert out.start_tok.tolist() == expect_start.tolist()
+        assert (out.first_seq == out.start_tok // 16).all()
+
     def test_boundary_straddle_and_offsets(self, ray_session):
         import ray.data
 
