@@ -739,6 +739,19 @@ def _q_rel_covar(sf_dir: str):
     return lineitem_covar(sf_dir)
 
 
+def _q_corpus_weighted_sample(sf_dir: str):
+    # priority sampling (Duffield-Lund-Thorup): 120 docs, weight-
+    # proportional by n_chars, deterministic 53-bit-hash priorities
+    import ray.data
+
+    from parser_rdf_ray.pipelines.curation import weighted_priority_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_priority_sample(docs, k=120)
+
+
 def _q_corpus_per_lang_sample(sf_dir: str):
     # balanced subset: 5 hash-smallest docs per language (bottom-k sketch)
     import ray.data
@@ -955,7 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _q_graph_triangles,
         "rel_winsorize": _q_rel_winsorize,
         "rel_bloom_join": _q_rel_bloom_join,
-        "corpus_per_lang_sample": _q_corpus_per_lang_sample,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
         "rel_covar": _q_rel_covar,
         "rel_ntile": _q_rel_ntile,
         "rel_cube": _q_rel_cube,
@@ -1025,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_semi_join": _q_rel_semi_join,
         "corpus_stratified": _q_corpus_stratified,
         "text_redact": _q_text_redact,
+        "corpus_per_lang_sample": _q_corpus_per_lang_sample,
     }
 
 
@@ -1666,6 +1680,21 @@ FROM s
 
     # Same md5-low64 ranking (mod 2^63 keeps it int64-signed-safe on
     # both sides), ties by doc_id — identical bottom-k per language.
+    # priority sampling: identical 53-bit-truncated-hash / weight DOUBLE
+    # division on both sides (IEEE division is correctly rounded, so the
+    # bits agree across engines — unlike ln/pow); rank_key stays internal
+    sql["corpus_weighted_sample"] = """
+SELECT doc_id, weight FROM (
+  SELECT doc_id,
+         greatest(n_chars, 1) AS weight,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) // 2048 AS DOUBLE)
+           / greatest(n_chars, 1) AS rank_key
+  FROM documents
+)
+ORDER BY rank_key, doc_id
+LIMIT 120
+"""
+
     sql["corpus_per_lang_sample"] = """
 SELECT doc_id, lang,
        CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 9223372036854775808 AS BIGINT)

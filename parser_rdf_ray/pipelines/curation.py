@@ -424,6 +424,68 @@ def per_group_sample(documents_ds, k: int = 5):
     )
 
 
+WEIGHTED_SAMPLE_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("weight", pa.int64())]
+)
+
+
+def weighted_priority_sample(documents_ds, k: int = 100, weight_col: str = "n_chars"):
+    """PRIORITY SAMPLING (Duffield–Lund–Thorup 2007; sequential Poisson,
+    Ohlsson 1998): a deterministic weight-proportional sample without
+    replacement — the k documents with the smallest priority
+    ``uniform(doc_id) / weight``, so heavier documents (more chars, more
+    tokens) are proportionally likelier to be kept. THE corpus
+    subsampling primitive when "sample 1M documents but favor long ones"
+    must be reproducible run-to-run.
+
+    Determinism + SQL-replayability without float hazards: the uniform is
+    md5-low64(doc_id) truncated to 53 bits (>> 11), exactly representable
+    as an IEEE double, and a single double division is CORRECTLY ROUNDED
+    by IEEE 754 — numpy and DuckDB produce the identical bit pattern
+    (unlike transcendental ln/pow, which vary by libm and are avoided).
+    Ties (hash collisions or equal priorities) break on doc_id.
+
+    Scale shape: per-batch vectorized priorities + a per-batch k-smallest
+    prune, so only k×blocks candidate rows reach the ONE small sort;
+    weights never shuffle with text."""
+    from parser_rdf_ray.md5vec import md5_low64_ids
+
+    cand_schema = pa.schema(
+        [("doc_id", pa.int64()), ("weight", pa.int64()), ("rank_key", pa.float64())]
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        w = np.maximum(
+            np.asarray(pc.cast(batch.column(weight_col), pa.int64()), dtype=np.int64), 1
+        )
+        u53 = (md5_low64_ids(ids) >> np.uint64(11)).astype(np.float64)
+        key = u53 / w.astype(np.float64)
+        idn = np.asarray(ids, dtype=np.int64)
+        order = np.lexsort((idn, key))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(idn[order], pa.int64()),
+                pa.array(w[order], pa.int64()),
+                pa.array(key[order], pa.float64()),
+            ],
+            schema=cand_schema,
+        )
+
+    cand = documents_ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    picked = cand.sort(["rank_key", "doc_id"]).limit(k)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("weight")],
+            schema=WEIGHTED_SAMPLE_SCHEMA,
+        )
+
+    # rank_key stays internal: the membership SET is the contract (float
+    # columns in outputs would hash differently across engines)
+    return picked.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 PACK_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),

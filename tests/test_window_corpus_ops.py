@@ -2433,6 +2433,91 @@ class TestTrainingSetComposite:
         assert (srt.first_seq == srt.start_tok // 16).all()
 
 
+class TestWeightedPrioritySample:
+    def _brute(self, ids, weights, k):
+        keys = [
+            ((_md5_low64(str(i)) >> 11) / max(w, 1), i)
+            for i, w in zip(ids, weights)
+        ]
+        return [i for _, i in sorted(keys)[:k]]
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import weighted_priority_sample
+
+        rng = np.random.default_rng(3)
+        n = 400
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "n_chars": rng.integers(0, 2000, size=n).astype(np.int64),
+            }
+        )
+        out = (
+            weighted_priority_sample(ray.data.from_pandas(docs).repartition(8), k=37)
+            .to_pandas()
+        )
+        assert sorted(out.doc_id) == sorted(
+            self._brute(docs.doc_id, docs.n_chars, 37)
+        )
+        # emitted weight is the clamped one
+        by_id = docs.set_index("doc_id").n_chars
+        for _, r in out.iterrows():
+            assert r.weight == max(int(by_id[r.doc_id]), 1)
+
+    def test_weight_proportional_bias(self, ray_session):
+        """A document 50x heavier must be sampled far more often than a
+        light one — check aggregate bias: the sampled set's mean weight
+        exceeds the population's."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import weighted_priority_sample
+
+        rng = np.random.default_rng(9)
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(1000, dtype=np.int64),
+                "n_chars": np.where(
+                    rng.random(1000) < 0.5, 10, 500
+                ).astype(np.int64),
+            }
+        )
+        out = weighted_priority_sample(
+            ray.data.from_pandas(docs).repartition(4), k=100
+        ).to_pandas()
+        assert out.weight.mean() > docs.n_chars.mean() * 1.5
+
+    def test_growth_stability_bottom_k(self, ray_session):
+        """Adding documents can only DISPLACE members at the k-boundary —
+        every member of the new sample that existed before either was in
+        the old sample or has a smaller priority than someone who was
+        (the bottom-k sketch property; membership is a pure function of
+        (doc_id, weight))."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import weighted_priority_sample
+
+        rng = np.random.default_rng(5)
+        base = pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "n_chars": rng.integers(1, 900, size=300).astype(np.int64),
+            }
+        )
+        grown = pd.concat(
+            [base, pd.DataFrame({"doc_id": np.arange(300, 360, dtype=np.int64),
+                                 "n_chars": rng.integers(1, 900, size=60).astype(np.int64)})]
+        )
+        k = 50
+        s1 = set(weighted_priority_sample(
+            ray.data.from_pandas(base).repartition(4), k=k).to_pandas().doc_id)
+        s2 = set(weighted_priority_sample(
+            ray.data.from_pandas(grown).repartition(4), k=k).to_pandas().doc_id)
+        # old docs still in the grown sample must have been in the old one
+        assert (s2 & set(base.doc_id)) <= s1
+
+
 class TestGopherQualityProfile:
     def _docs(self):
         def words(prefix, n):
