@@ -287,20 +287,17 @@ def _run_training_set_job(args) -> None:
 
     def stage(name, make_ds, out_dir=None):
         """Checkpoint a stage boundary and record wall time + resume flag.
-        ``make_ds`` is a THUNK: keep_set() and training_set_tail() do
-        eager driver work (LSH pair collect / pack's two passes) at
-        CONSTRUCTION time, so a completed stage must short-circuit on its
-        manifest BEFORE the dataset is built — otherwise a resume silently
-        redoes the expensive work and discards it."""
+        ``make_ds`` is a THUNK handed to lineage.checkpoint_stage_lazy:
+        keep_set() and training_set_tail() do eager driver work (LSH pair
+        collect / pack's two passes) at CONSTRUCTION time, so a completed
+        stage must short-circuit on its manifest BEFORE the dataset is
+        built — otherwise a resume silently redoes the expensive work and
+        discards it (pinned by TestTrainingSetCheckpointResume)."""
         base = out_dir or ckpt
         t = time.time()
-        if base and lineage.is_complete(base, name, args.run_id):
-            import ray.data as _rd
-
-            out, was_resumed = _rd.read_parquet(lineage.stage_dir(base, name)), True
-        elif base:
-            out, was_resumed = lineage.checkpoint_stage(
-                make_ds(), base, name, fingerprint=args.run_id, run_id=args.run_id
+        if base:
+            out, was_resumed = lineage.checkpoint_stage_lazy(
+                make_ds, base, name, fingerprint=args.run_id, run_id=args.run_id
             )
         else:
             out, was_resumed = make_ds().materialize(), False

@@ -134,6 +134,24 @@ def checkpoint_stage(ds, checkpoint_dir: str, stage: str, fingerprint: str, run_
     return ray.data.read_parquet(out), False
 
 
+def checkpoint_stage_lazy(make_ds, checkpoint_dir: str, stage: str,
+                          fingerprint: str, run_id: str):
+    """checkpoint_stage for EAGERLY-CONSTRUCTED datasets: ``make_ds`` is a
+    thunk, invoked only when the stage is NOT already complete. Builders
+    like keep_set (LSH pair collect) and training_set_tail (pack's two
+    driver passes) do their expensive work at construction time, so a
+    resume must short-circuit on the manifest BEFORE building the dataset
+    — this keeps that rule with the manifest logic it depends on, instead
+    of every caller re-implementing the resume branch."""
+    import ray.data
+
+    if is_complete(checkpoint_dir, stage, fingerprint):
+        return ray.data.read_parquet(stage_dir(checkpoint_dir, stage)), True
+    return checkpoint_stage(
+        make_ds(), checkpoint_dir, stage, fingerprint=fingerprint, run_id=run_id
+    )
+
+
 def read_manifest(checkpoint_dir: str, stage: str) -> dict | None:
     path = os.path.join(stage_dir(checkpoint_dir, stage), MANIFEST)
     if not os.path.exists(path):

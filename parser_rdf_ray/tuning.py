@@ -130,8 +130,11 @@ def gram_df_cap() -> int:
     pin the guard)."""
     import os
 
+    # `if env` (not `is not None`): an EMPTY string — the shell idiom
+    # `GRAFT_GRAM_DF_CAP= cmd` for clearing an override — falls back to
+    # the default instead of crashing int('')
     env = os.environ.get("GRAFT_GRAM_DF_CAP")
-    if env is not None:
+    if env:
         return int(env)
     return 1_000_000
 

@@ -1294,6 +1294,33 @@ class TestTrainingSetCheckpointResume:
         )
         assert r is False
 
+    def test_lazy_checkpoint_skips_construction_on_resume(self, ray_session, tmp_path):
+        """checkpoint_stage_lazy must NOT invoke the dataset thunk when
+        the manifest is complete — builders like keep_set do their
+        expensive driver work at CONSTRUCTION time, so invoking the thunk
+        on resume silently redoes and discards it (the job.py training-set
+        decomposition depends on this)."""
+        import pandas as pd
+        import ray.data
+
+        from parser_rdf_ray.state import lineage
+
+        ckpt = str(tmp_path / "c")
+        calls = []
+
+        def make_ds():
+            calls.append(1)
+            return ray.data.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3]}))
+
+        out1, r1 = lineage.checkpoint_stage_lazy(make_ds, ckpt, "s", "f1", "f1")
+        assert (r1, len(calls)) == (False, 1)
+        out2, r2 = lineage.checkpoint_stage_lazy(make_ds, ckpt, "s", "f1", "f1")
+        assert (r2, len(calls)) == (True, 1)  # thunk NOT re-invoked
+        assert sorted(x["doc_id"] for x in out2.take_all()) == [1, 2, 3]
+        # a different fingerprint builds again
+        _, r3 = lineage.checkpoint_stage_lazy(make_ds, ckpt, "s", "f2", "f2")
+        assert (r3, len(calls)) == (False, 2)
+
 
 class TestIncrementalMergePruned:
     def test_pruned_merge_equals_full_build(self, ray_session, docs, tmp_path):

@@ -760,6 +760,32 @@ class TestHllSketch:
             assert abs(r1["estimate"] - n) / n < 0.15  # ~2σ for m=256
             assert r1["m"] == 256
 
+    def test_null_keys_hash_as_none_string(self, ray_session):
+        """Nulls in the key column hash as the string 'None' (the
+        historical str(None) contract) — the vectorized path must fill
+        them rather than raise, and a null contributes exactly ONE
+        distinct value regardless of multiplicity (equal to literally
+        having the string 'None' in the data)."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.sketch import approx_distinct
+
+        vals = ["a", "b", None, "a", None, "c", None]
+        with_null = pa.Table.from_arrays([pa.array(vals, pa.string())], names=["k"])
+        as_str = pa.Table.from_arrays(
+            [pa.array([v if v is not None else "None" for v in vals], pa.string())],
+            names=["k"],
+        )
+        r1 = approx_distinct(ray.data.from_arrow(with_null), "k", p=6).take_all()[0]
+        r2 = approx_distinct(ray.data.from_arrow(as_str), "k", p=6).take_all()[0]
+        assert r1 == r2
+        # nullable INT keys take the same contract (str(None) == 'None')
+        ints = pa.Table.from_arrays(
+            [pa.array([1, 2, None, 2, None], pa.int64())], names=["k"]
+        )
+        r3 = approx_distinct(ray.data.from_arrow(ints), "k", p=6).take_all()[0]
+        assert r3["nonzero_registers"] >= 1  # ran without raising
+
     def test_duplicates_do_not_inflate(self, ray_session):
         import ray.data
 
