@@ -558,11 +558,20 @@ def group_quantiles(sf_dir: str, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
         import polars as pl
 
         if block.num_rows == 0:
-            return []
+            return None, []
         agg = pl.from_arrow(block).group_by("grp").len().sort("grp")
-        return list(zip(agg["grp"].to_list(), agg["len"].to_list()))
+        first = (block.column("grp")[0].as_py(), block.column("cents")[0].as_py())
+        return first, list(zip(agg["grp"].to_list(), agg["len"].to_list()))
 
-    per_block = ray.get([block_group_counts.remote(r) for r in refs])
+    stats = ray.get([block_group_counts.remote(r) for r in refs])
+    # rank targeting prefix-sums per-block counts IN LIST ORDER, which
+    # assumes the materialized blocks arrive in logical (sorted) order —
+    # true today but undocumented executor behavior, so assert it loudly
+    # (first-row (grp, cents) tuples must be non-decreasing)
+    firsts = [f for f, _ in stats if f is not None]
+    if firsts != sorted(firsts):
+        raise RuntimeError("materialized block order drift (quantiles)")
+    per_block = [c for _, c in stats]
 
     # group totals + (block, local-offset) location of each target rank
     totals: dict[str, int] = {}
@@ -690,16 +699,23 @@ def dense_rank_customers(sf_dir: str):
         import polars as pl
 
         if block.num_rows == 0:
-            return []
+            return None, []
         agg = (
             pl.from_arrow(block)
             .group_by("nation")
             .agg(pl.col("cents").n_unique().alias("d"))
             .sort("nation")
         )
-        return list(zip(agg["nation"].to_list(), agg["d"].to_list()))
+        first = (block.column("nation")[0].as_py(), block.column("cents")[0].as_py())
+        return first, list(zip(agg["nation"].to_list(), agg["d"].to_list()))
 
-    per_block = ray.get([distinct_counts.remote(r) for r in refs])
+    stats = ray.get([distinct_counts.remote(r) for r in refs])
+    # the prefix accumulation below assumes logical (sorted) block order —
+    # assert it (sort was nation asc, cents desc → compare (nation, -cents))
+    firsts = [(f[0], -f[1]) for f, _ in stats if f is not None]
+    if firsts != sorted(firsts):
+        raise RuntimeError("materialized block order drift (dense_rank)")
+    per_block = [c for _, c in stats]
     offsets: list[dict[int, int]] = []
     running: dict[int, int] = {}
     for counts in per_block:
@@ -1553,11 +1569,22 @@ def ntile_customers(sf_dir: str, k: int = 4):
         import polars as pl
 
         if block.num_rows == 0:
-            return []
+            return None, []
         agg = pl.from_arrow(block).group_by("nation").len().sort("nation")
-        return list(zip(agg["nation"].to_list(), agg["len"].to_list()))
+        first = (
+            block.column("nation")[0].as_py(),
+            block.column("cents")[0].as_py(),
+            block.column("c_custkey")[0].as_py(),
+        )
+        return first, list(zip(agg["nation"].to_list(), agg["len"].to_list()))
 
-    per_block = ray.get([nation_counts.remote(r) for r in refs])
+    stats = ray.get([nation_counts.remote(r) for r in refs])
+    # the per-block offset prefix assumes logical (sorted) block order —
+    # assert it (nation asc, cents desc, custkey asc)
+    firsts = [(f[0], -f[1], f[2]) for f, _ in stats if f is not None]
+    if firsts != sorted(firsts):
+        raise RuntimeError("materialized block order drift (ntile)")
+    per_block = [c for _, c in stats]
     offsets: list[dict[int, int]] = []
     running: dict[int, int] = {}
     for counts in per_block:

@@ -49,6 +49,11 @@ def pin_sorted_blocks(ds, key_col: str):
 
     firsts = ray.get([first_key.remote(r) for r in refs])
     kept = [(f, r) for f, r in zip(firsts, refs) if f is not None]
+    # sort by first key: downstream routing bisects over `firsts`, which
+    # requires ascending order — materialize() preserves logical block
+    # order today (measured), but that is undocumented executor behavior;
+    # sorting here makes the contract explicit and load-proof
+    kept.sort(key=lambda fr: fr[0])
     return [f for f, _ in kept], [r for _, r in kept]
 
 
