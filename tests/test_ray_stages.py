@@ -1668,3 +1668,19 @@ class TestLineageNoneSafety:
             "d": 2.5,
             "e": True,
         }
+
+
+class TestCoalesceBlocks:
+    def test_bundles_small_blocks_without_reordering_rows(self, ray_session):
+        """coalesce_blocks is a STREAMING bundler (identity map_batches
+        with a large batch_size), not an AllToAll repartition: many small
+        blocks collapse to few, total row multiset unchanged."""
+        import ray.data
+
+        from parser_rdf_ray.tuning import coalesce_blocks
+
+        ds = ray.data.range(5000).repartition(100).materialize()
+        assert ds.num_blocks() == 100
+        co = coalesce_blocks(ds, target_rows=1 << 20).materialize()
+        assert co.num_blocks() <= 4
+        assert sorted(r["id"] for r in co.take_all()) == list(range(5000))
