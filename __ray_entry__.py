@@ -739,6 +739,20 @@ def _q_rel_covar(sf_dir: str):
     return lineitem_covar(sf_dir)
 
 
+def _q_corpus_source_cap(sf_dir: str):
+    # per-domain frequency cap (C4/RefinedWeb style): each of the 20
+    # synthetic sources holds 25 docs, so cap=10 binds everywhere; the
+    # under-cap keep-everything branch is pinned by TestCapPerSource
+    import ray.data
+
+    from parser_rdf_ray.pipelines.curation import cap_per_source
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return cap_per_source(docs, cap=10)
+
+
 def _q_corpus_weighted_sample(sf_dir: str):
     # priority sampling (Duffield-Lund-Thorup): 120 docs, weight-
     # proportional by n_chars, deterministic 53-bit-hash priorities
@@ -969,7 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_winsorize": _q_rel_winsorize,
         "rel_bloom_join": _q_rel_bloom_join,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
-        "rel_covar": _q_rel_covar,
+        "corpus_source_cap": _q_corpus_source_cap,
         "rel_ntile": _q_rel_ntile,
         "rel_cube": _q_rel_cube,
         "corpus_blocklist": _q_corpus_blocklist,
@@ -1039,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stratified": _q_corpus_stratified,
         "text_redact": _q_text_redact,
         "corpus_per_lang_sample": _q_corpus_per_lang_sample,
+        "rel_covar": _q_rel_covar,
     }
 
 
@@ -1680,6 +1695,14 @@ FROM s
 
     # Same md5-low64 ranking (mod 2^63 keeps it int64-signed-safe on
     # both sides), ties by doc_id — identical bottom-k per language.
+    sql["corpus_source_cap"] = """
+SELECT doc_id, source,
+       CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 9223372036854775808 AS BIGINT)
+         AS rank_hash
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY rank_hash, doc_id) <= 10
+"""
+
     # priority sampling: identical 53-bit-truncated-hash / weight DOUBLE
     # division on both sides (IEEE division is correctly rounded, so the
     # bits agree across engines — unlike ln/pow); rank_key stays internal

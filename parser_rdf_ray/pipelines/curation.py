@@ -424,6 +424,48 @@ def per_group_sample(documents_ds, k: int = 5):
     )
 
 
+SOURCE_CAP_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("source", pa.string()), ("rank_hash", pa.int64())]
+)
+
+
+def cap_per_source(documents_ds, cap: int = 50):
+    """PER-SOURCE FREQUENCY CAP: keep at most ``cap`` documents per
+    source — the anti-spam / anti-boilerplate domain cap every web-corpus
+    pipeline applies (a single crawled domain must not dominate the
+    training mix; cf. C4 / RefinedWeb per-domain limits). Sources under
+    the cap keep EVERY document; heavy sources keep a deterministic
+    hash-ranked subset, so membership is a pure function of doc_id (the
+    hash_split stability contract — re-runs and corpus growth never
+    reshuffle a kept document's fate except at the cap boundary).
+
+    Distributed form: stages/groups.grouped_topk — the per-batch combiner
+    bounds the shuffle to cap × blocks rows per source; document text
+    never moves. rank_hash (md5-low64 mod 2^63, int64 sign-safe) is
+    emitted so the SQL oracle ranks identically."""
+    from parser_rdf_ray.stages.groups import grouped_topk
+
+    def project(batch: pa.Table) -> pa.Table:
+        from parser_rdf_ray.md5vec import md5_low64_ids
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        hashes = pa.array(
+            (md5_low64_ids(ids) % np.uint64(1 << 63)).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [ids, pc.cast(batch.column("source"), pa.string()), hashes],
+            schema=SOURCE_CAP_SCHEMA,
+        )
+
+    projected = documents_ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_topk(
+        projected, ["source"], "rank_hash", cap, descending=False, tie_cols=["doc_id"]
+    )
+
+
 WEIGHTED_SAMPLE_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("weight", pa.int64())]
 )

@@ -2459,6 +2459,44 @@ class TestTrainingSetComposite:
         assert (srt.first_seq == srt.start_tok // 16).all()
 
 
+class TestCapPerSource:
+    def test_cap_binds_heavy_sources_and_keeps_light_ones(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.curation import cap_per_source
+
+        rows = []
+        for i in range(30):
+            rows.append((i, "heavy.example"))        # 30 docs, cap binds
+        for i in range(30, 35):
+            rows.append((i, "light.example"))        # 5 docs, all kept
+        docs = pd.DataFrame(rows, columns=["doc_id", "source"]).astype(
+            {"doc_id": np.int64}
+        )
+        out = (
+            cap_per_source(ray.data.from_pandas(docs).repartition(6), cap=10)
+            .to_pandas()
+        )
+        by_src = out.groupby("source").doc_id.apply(set)
+        assert len(by_src["heavy.example"]) == 10
+        assert by_src["light.example"] == set(range(30, 35))
+        # the kept heavy subset is the 10 hash-smallest (deterministic)
+        expect = sorted(
+            range(30), key=lambda i: (_md5_low64(str(i)) % (1 << 63), i)
+        )[:10]
+        assert by_src["heavy.example"] == set(expect)
+        # stability: growing the heavy source only displaces at the boundary
+        grown = pd.concat(
+            [docs, pd.DataFrame({"doc_id": np.arange(100, 120, dtype=np.int64),
+                                 "source": "heavy.example"})]
+        )
+        out2 = cap_per_source(
+            ray.data.from_pandas(grown).repartition(6), cap=10
+        ).to_pandas()
+        kept2 = set(out2[out2.source == "heavy.example"].doc_id)
+        assert kept2 & set(range(30)) <= by_src["heavy.example"]
+
+
 class TestWeightedPrioritySample:
     def _brute(self, ids, weights, k):
         keys = [
