@@ -194,6 +194,9 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "corpus_training_set",
         "text_repetition",
         "text_postings",
+        "corpus_training_set_gopher",
+        "corpus_weighted_sample",
+        "corpus_source_cap",
     ]
     import gc
 
