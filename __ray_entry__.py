@@ -793,6 +793,29 @@ def _q_rel_winsorize(sf_dir: str):
     return winsorize_orders(sf_dir, lo=0.05, hi=0.95)
 
 
+def _q_graph_kcore(sf_dir: str):
+    # 2-core of the KG's IRI edge graph (fixed-R peeling, rounds=4 ≥ the
+    # measured peel depth 2): separates richly-connected entities (12 at
+    # both sweep scales) from the 268 leaf/path nodes peeling removes
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from parser_rdf_ray.pipelines.kg_build import kcore_nodes
+
+    adjacency, _ = _build_kg_adjacency(sf_dir)
+
+    def iri_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("obj_kind"), "iri"))
+        return pa.Table.from_arrays(
+            [b.column("subj"), b.column("obj")], names=["a", "b"]
+        )
+
+    edges = adjacency.map_batches(
+        iri_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return kcore_nodes(edges, k=2, rounds=4)
+
+
 def _q_graph_triangles(sf_dir: str):
     # triangle count of the near-dup similarity graph (cluster cohesion):
     # minhash pairs → degree-oriented distributed triangle counting
@@ -980,7 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "media_decode_real": _q_media_decode_real,
         "graph_triangles": _q_graph_triangles,
-        "rel_winsorize": _q_rel_winsorize,
+        "graph_kcore": _q_graph_kcore,
         "rel_bloom_join": _q_rel_bloom_join,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "corpus_source_cap": _q_corpus_source_cap,
@@ -1054,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": _q_text_redact,
         "corpus_per_lang_sample": _q_corpus_per_lang_sample,
         "rel_covar": _q_rel_covar,
+        "rel_winsorize": _q_rel_winsorize,
     }
 
 
@@ -1863,6 +1887,35 @@ FROM s
         "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
     ).format(minhash=sql["dedup_minhash"])
+
+    # k-core by UNROLLED fixed-R peeling (the pagerank convention for
+    # iterative ops): round r's degrees are counted in the subgraph
+    # induced by round r-1's survivors; rounds=4 ≥ the measured peel
+    # depth (2), so this equals the true 2-core — and the engine runs the
+    # identical fixed-R semantics either way. Built by a loop so the
+    # round count can never drift between the CTE chain and the query.
+    _KCORE_ROUNDS, _KCORE_K = 4, 2
+    _kc = (
+        ", e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b "
+        "FROM trip WHERE obj LIKE 'http://%' AND subj <> obj), "
+        "g AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e), "
+        "a0 AS (SELECT DISTINCT s AS node FROM g)"
+    )
+    for r in range(1, _KCORE_ROUNDS + 1):
+        _kc += (
+            f", d{r} AS (SELECT g.s AS node, COUNT(*) AS d FROM g "
+            f"JOIN a{r - 1} x ON g.s = x.node JOIN a{r - 1} y ON g.t = y.node "
+            f"GROUP BY g.s), "
+            f"a{r} AS (SELECT node FROM d{r} WHERE d >= {_KCORE_K})"
+        )
+    _kc += (
+        f", df AS (SELECT g.s AS node, COUNT(*) AS d FROM g "
+        f"JOIN a{_KCORE_ROUNDS} x ON g.s = x.node "
+        f"JOIN a{_KCORE_ROUNDS} y ON g.t = y.node GROUP BY g.s) "
+        f"SELECT a{_KCORE_ROUNDS}.node, CAST(COALESCE(df.d, 0) AS BIGINT) AS degree "
+        f"FROM a{_KCORE_ROUNDS} LEFT JOIN df USING (node)"
+    )
+    sql["graph_kcore"] = _TRIPLES_CTE + _kc
 
     # The REAL netpbm decoder oracle: pixels are a pure function of
     # doc_id (byte k = (doc_id·31 + k·7) % 256), so SQL regenerates the

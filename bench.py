@@ -197,6 +197,7 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
         "corpus_training_set_gopher",
         "corpus_weighted_sample",
         "corpus_source_cap",
+        "graph_kcore",
     ]
     import gc
 

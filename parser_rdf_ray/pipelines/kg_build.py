@@ -1092,3 +1092,296 @@ def triangle_count(edges_ds):
     return ray.data.from_arrow(
         pa.Table.from_arrays([pa.array([total], pa.int64())], schema=out_schema)
     )
+
+
+def _kcore_schema():
+    import pyarrow as pa
+
+    return pa.schema([("node", pa.string()), ("degree", pa.int64())])
+
+
+def _kcore_small(edges, k: int, rounds: int):
+    """Single-task fixed-R peeling over the materialized distinct edge
+    Dataset — identical semantics to the distributed loop (pinned by
+    TestKcoreSmallGraphPath); blocks travel plasma→task, never the
+    driver."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    @ray.remote
+    def solve(*blocks):
+        import numpy as np
+        import pyarrow as pa
+
+        t = pa.concat_tables(list(blocks), promote_options="permissive")
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        schema = pa.schema([("node", pa.string()), ("degree", pa.int64())])
+        if len(a) == 0:
+            return schema.empty_table()
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        n = len(nodes)
+        ai = inv[: len(a)].astype(np.int64)
+        bi = inv[len(a):].astype(np.int64)
+        alive = np.ones(n, dtype=bool)
+        for _ in range(rounds):
+            keep_e = alive[ai] & alive[bi]
+            deg = np.bincount(
+                np.concatenate([ai[keep_e], bi[keep_e]]), minlength=n
+            )
+            new_alive = alive & (deg >= k)
+            if np.array_equal(new_alive, alive):
+                break  # converged: further fixed-R rounds are no-ops
+            alive = new_alive
+        keep_e = alive[ai] & alive[bi]
+        deg = np.bincount(np.concatenate([ai[keep_e], bi[keep_e]]), minlength=n)
+        out_idx = np.flatnonzero(alive)
+        return pa.Table.from_arrays(
+            [
+                pa.array(nodes[out_idx]),
+                pa.array(deg[out_idx].astype(np.int64)),
+            ],
+            schema=schema,
+        )
+
+    refs = _graph_block_refs(edges)
+    return ray.data.from_arrow_refs([solve.remote(*refs)])
+
+
+def kcore_nodes(edges_ds, k: int = 2, rounds: int = 8):
+    """K-CORE DECOMPOSITION (fixed-R peeling): the nodes surviving
+    ``rounds`` rounds of "remove every node with induced degree < k"
+    over the undirected simple graph, emitted with their degree in the
+    final surviving subgraph — the graph-density quality signal (a KG
+    entity's k-core membership separates richly-connected entities from
+    leaf noise; on a near-dup similarity graph it finds dense template
+    families). ``rounds`` ≥ the graph's peel depth yields the true
+    k-core; both the engine and the SQL oracle compute the identical
+    fixed-R semantics, so the oracle is exact regardless.
+
+    Plan: canonicalized distinct simple edges (ONE sort), then the
+    size-adaptive split every iterative graph op here uses
+    (tuning.small_graph_max): small graphs solve in ONE task (the
+    ~3-sorts-per-round distributed loop pays session floors that dwarf
+    compute); at scale each round is (a) two tagged-union sorted-run
+    SEMI JOINS filtering the edge list to alive endpoints and (b) one
+    node sort whose co-partitioned run lengths ARE the induced degrees —
+    only (node, id) rows shuffle, and loop state re-pins its block count
+    per round (the CLAUDE.md iterative-loop rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from parser_rdf_ray.stages.groups import run_spans, sorted_distinct
+    from parser_rdf_ray.tuning import (
+        small_graph_max,
+        state_parallelism,
+        tune_data_context,
+    )
+
+    tune_data_context()
+    KCORE_SCHEMA = _kcore_schema()
+
+    def canon(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("a"), pa.string())
+        y = pc.cast(b.column("b"), pa.string())
+        lo = pc.min_element_wise(x, y)
+        hi = pc.max_element_wise(x, y)
+        t = pa.Table.from_arrays([lo, hi], names=["a", "b"])
+        return t.filter(pc.not_equal(t.column("a"), t.column("b")))
+
+    edges = sorted_distinct(
+        edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+    ).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(KCORE_SCHEMA.empty_table())
+    if n_edges <= small_graph_max():
+        return _kcore_small(edges, k, rounds)
+
+    # ---- distributed fixed-R loop ----
+    g_schema = pa.schema([("node", pa.string()), ("other", pa.string())])
+
+    def both_dir(b: pa.Table) -> pa.Table:
+        s = b.column("a").combine_chunks()
+        t = b.column("b").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([s, t]), pa.concat_arrays([t, s])],
+            schema=g_schema,
+        )
+
+    g = edges.map_batches(
+        both_dir, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    u_schema = pa.schema(
+        [("node", pa.string()), ("other", pa.string()), ("kind", pa.int8())]
+    )
+
+    def tag_alive(b: pa.Table) -> pa.Table:
+        nodes = b.column("node")
+        n = len(nodes)
+        return pa.Table.from_arrays(
+            [nodes, pa.nulls(n, pa.string()),
+             pa.array(np.zeros(n, dtype=np.int8))],
+            schema=u_schema,
+        )
+
+    def tag_g(col_as_node: bool):
+        def f(b: pa.Table) -> pa.Table:
+            node = b.column("node" if col_as_node else "other")
+            other = b.column("other" if col_as_node else "node")
+            n = len(node)
+            return pa.Table.from_arrays(
+                [node, other, pa.array(np.ones(n, dtype=np.int8))],
+                schema=u_schema,
+            )
+
+        return f
+
+    def semi_block(batch: pa.Table) -> pa.Table:
+        """Keep kind-1 rows whose node run contains a kind-0 row."""
+        if batch.num_rows == 0:
+            return g_schema.empty_table()
+        starts, _ = run_spans(batch, ["node"])
+        kinds = batch.column("kind").to_numpy()
+        marks = np.zeros(batch.num_rows, dtype=np.int64)
+        marks[starts] = 1
+        run_ids = np.cumsum(marks) - 1
+        has0 = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        emit = (kinds == 1) & has0[run_ids]
+        rows = batch.filter(pa.array(emit))
+        return pa.Table.from_arrays(
+            [rows.column("node"), rows.column("other")], schema=g_schema
+        )
+
+    def alive_edges(g_ds, alive_ds):
+        """Edges of g with BOTH endpoints alive: two sorted-run semi
+        joins (filter on node, swap, filter on the other endpoint)."""
+        from parser_rdf_ray.tuning import coalesce_blocks
+
+        f1 = (
+            coalesce_blocks(
+                g_ds.map_batches(tag_g(True), batch_format="pyarrow", zero_copy_batch=True)
+                .union(alive_ds.map_batches(tag_alive, batch_format="pyarrow", zero_copy_batch=True))
+            )
+            .sort("node")
+            .map_batches(semi_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        )
+        return (
+            coalesce_blocks(
+                f1.map_batches(tag_g(False), batch_format="pyarrow", zero_copy_batch=True)
+                .union(alive_ds.map_batches(tag_alive, batch_format="pyarrow", zero_copy_batch=True))
+            )
+            .sort("node")
+            .map_batches(semi_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        )
+
+    deg_schema = pa.schema([("node", pa.string()), ("degree", pa.int64())])
+
+    def deg_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return deg_schema.empty_table()
+        starts, ends = run_spans(b, ["node"])
+        return pa.Table.from_arrays(
+            [
+                b.column("node").take(pa.array(starts)),
+                pa.array((ends - starts).astype(np.int64)),
+            ],
+            schema=deg_schema,
+        )
+
+    def degrees(e_ds):
+        # e_ds rows are (node, other) half-edges: node's run length after
+        # the node sort IS its induced degree (each undirected edge
+        # contributes one half-edge per endpoint)
+        return e_ds.sort("node").map_batches(
+            deg_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    alive_schema = pa.schema([("node", pa.string())])
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([b.column("node")], schema=alive_schema)
+
+    alive = sorted_distinct(
+        g.map_batches(nodes_of, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+    )
+    n_alive = alive.count()
+    state_parts = state_parallelism(n_alive)
+    alive = alive.repartition(state_parts).materialize()
+
+    for _ in range(rounds):
+        deg = degrees(alive_edges(g, alive))
+
+        def keep(b: pa.Table) -> pa.Table:
+            rows = b.filter(pc.greater_equal(b.column("degree"), k))
+            return pa.Table.from_arrays([rows.column("node")], schema=alive_schema)
+
+        new_alive = (
+            deg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(state_parts)
+            .materialize()
+        )
+        if new_alive.count() == alive.count():
+            alive = new_alive
+            break  # converged — remaining fixed-R rounds are no-ops
+        alive = new_alive
+
+    # final induced degrees over the surviving set; nodes with zero
+    # induced degree (possible only when k == 0) re-attach via a
+    # tagged-union run scan rather than a join
+    final_deg = degrees(alive_edges(g, alive))
+    fu_schema = pa.schema([("node", pa.string()), ("degree", pa.int64()), ("kind", pa.int8())])
+
+    def tag_deg(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_arrays(
+            [b.column("node"), b.column("degree"), pa.array(np.ones(n, dtype=np.int8))],
+            schema=fu_schema,
+        )
+
+    def tag_alive2(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_arrays(
+            [b.column("node"), pa.array(np.zeros(n, dtype=np.int64)),
+             pa.array(np.zeros(n, dtype=np.int8))],
+            schema=fu_schema,
+        )
+
+    def emit_block(batch: pa.Table) -> pa.Table:
+        """One row per alive node: its degree row if present, else 0."""
+        if batch.num_rows == 0:
+            return KCORE_SCHEMA.empty_table()
+        starts, _ = run_spans(batch, ["node"])
+        kinds = batch.column("kind").to_numpy()
+        degs = batch.column("degree").to_numpy()
+        marks = np.zeros(batch.num_rows, dtype=np.int64)
+        marks[starts] = 1
+        run_ids = np.cumsum(marks) - 1
+        best = np.zeros(len(starts), dtype=np.int64)
+        np.maximum.at(best, run_ids, degs)  # degree row wins over the 0 tag
+        has_alive = np.add.reduceat((kinds == 0).astype(np.int64), starts) > 0
+        keep_runs = np.flatnonzero(has_alive)
+        return pa.Table.from_arrays(
+            [
+                batch.column("node").take(pa.array(starts[keep_runs])),
+                pa.array(best[keep_runs]),
+            ],
+            schema=KCORE_SCHEMA,
+        )
+
+    from parser_rdf_ray.tuning import coalesce_blocks
+
+    return (
+        coalesce_blocks(
+            final_deg.map_batches(tag_deg, batch_format="pyarrow", zero_copy_batch=True)
+            .union(alive.map_batches(tag_alive2, batch_format="pyarrow", zero_copy_batch=True))
+        )
+        .sort("node")
+        .map_batches(emit_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    )

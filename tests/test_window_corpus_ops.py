@@ -1200,6 +1200,83 @@ class TestTriangleCount:
         assert triangle_count(ds).take_all()[0]["n_triangles"] == 1
 
 
+class TestKcore:
+    def _edges(self):
+        # 4-clique + path hanging off it + isolated pair
+        return pd.DataFrame(
+            [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"),
+             ("C", "D"), ("A", "E"), ("E", "F"), ("F", "G"), ("H", "I")],
+            columns=["a", "b"],
+        )
+
+    def test_two_core_is_the_clique(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import kcore_nodes
+
+        out = (
+            kcore_nodes(ray.data.from_pandas(self._edges()), k=2, rounds=8)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert out.node.tolist() == ["A", "B", "C", "D"]
+        assert out.degree.tolist() == [3, 3, 3, 3]
+
+    def test_one_core_keeps_everything_with_induced_degrees(self, ray_session):
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import kcore_nodes
+
+        out = (
+            kcore_nodes(ray.data.from_pandas(self._edges()), k=1, rounds=8)
+            .to_pandas().set_index("node").degree
+        )
+        assert sorted(out.index) == list("ABCDEFGHI")
+        assert out["A"] == 4 and out["G"] == 1 and out["H"] == 1
+
+    def test_deep_peel_needs_multiple_rounds(self, ray_session):
+        """A chain peels one node per round from each end — pins that the
+        loop really iterates (a single-round implementation would leave
+        interior chain nodes alive)."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import kcore_nodes
+
+        chain = pd.DataFrame(
+            [(f"c{i}", f"c{i+1}") for i in range(8)], columns=["a", "b"]
+        )
+        out = kcore_nodes(ray.data.from_pandas(chain), k=2, rounds=10).to_pandas()
+        assert len(out) == 0  # a path has no 2-core
+        # with too few rounds the fixed-R semantics leaves the middle
+        partial = kcore_nodes(ray.data.from_pandas(chain), k=2, rounds=1).to_pandas()
+        assert len(partial) > 0
+
+    def test_paths_agree(self, ray_session, monkeypatch):
+        """Single-task and distributed fixed-R peeling must be bit-equal
+        (GRAFT_SMALL_GRAPH_MAX=0 forces the distributed loop)."""
+        import ray.data
+
+        from parser_rdf_ray.pipelines.kg_build import kcore_nodes
+
+        rng = np.random.RandomState(41)
+        pairs = set()
+        while len(pairs) < 200:
+            a, b = rng.randint(0, 40, 2)
+            if a != b:
+                pairs.add((f"n{min(a, b):03d}", f"n{max(a, b):03d}"))
+        df = pd.DataFrame(sorted(pairs), columns=["a", "b"])
+        small = (
+            kcore_nodes(ray.data.from_pandas(df), k=3, rounds=8)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        monkeypatch.setenv("GRAFT_SMALL_GRAPH_MAX", "0")
+        dist = (
+            kcore_nodes(ray.data.from_pandas(df).repartition(6), k=3, rounds=8)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert len(small) > 0
+        assert small.equals(dist)
+
+
 class TestTriangleSmallGraphPath:
     def test_paths_agree(self, ray_session, monkeypatch):
         """Single-task and distributed triangle counts must be equal
