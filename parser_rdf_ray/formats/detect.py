@@ -10,9 +10,10 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
-from parser_rdf_ray.formats import jsonld, ntriples, rdfxml, turtle
+from parser_rdf_ray.formats import jsonld, nquads, ntriples, rdfxml, turtle
 from parser_rdf_ray.vocab import (
     FORMAT_JSONLD,
+    FORMAT_NQUADS,
     FORMAT_NTRIPLES,
     FORMAT_RDFXML,
     FORMAT_TURTLE,
@@ -27,9 +28,15 @@ class FormatPlugin(NamedTuple):
     parse: Callable[[str], tuple]
 
 
+# N-Quads sits BEFORE N-Triples (its syntactic subset): the quad sniffer
+# only claims content with a 4-term line, which the N-Triples sniffer
+# rejects anyway, so detection on reference-scope inputs is unchanged —
+# the reference's relative priority (S2) is preserved with one
+# beyond-reference insertion (the read side of the N-Quads export).
 DEFAULT_PLUGINS: tuple[FormatPlugin, ...] = (
     FormatPlugin(FORMAT_JSONLD, jsonld.can_handle, jsonld.parse),
     FormatPlugin(FORMAT_TURTLE, turtle.can_handle, turtle.parse),
+    FormatPlugin(FORMAT_NQUADS, nquads.can_handle, nquads.parse),
     FormatPlugin(FORMAT_NTRIPLES, ntriples.can_handle, lambda c: (ntriples.parse(c), None)),
     FormatPlugin(FORMAT_RDFXML, rdfxml.can_handle, rdfxml.parse),
 )

@@ -134,9 +134,12 @@ DEFAULT_GRAPH = "_:default"
 FORMAT_JSONLD = "json-ld"
 FORMAT_TURTLE = "turtle"
 FORMAT_NTRIPLES = "n-triples"
+FORMAT_NQUADS = "n-quads"
 FORMAT_RDFXML = "rdf/xml"
 FORMAT_UNKNOWN = "unknown"
 
 # Detection priority: JSON-LD → Turtle → N-Triples → RDF/XML
 # (RdfParser.php:219-227; rationale docs/spec-completeness.md:420)
-FORMAT_PRIORITY = (FORMAT_JSONLD, FORMAT_TURTLE, FORMAT_NTRIPLES, FORMAT_RDFXML)
+FORMAT_PRIORITY = (
+    FORMAT_JSONLD, FORMAT_TURTLE, FORMAT_NQUADS, FORMAT_NTRIPLES, FORMAT_RDFXML
+)

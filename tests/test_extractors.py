@@ -282,8 +282,10 @@ class TestParserLevel:
         assert r["format"] == "n-triples"
 
     def test_explicit_unknown_format(self):
+        # n-quads graduated to a registered handler in round 5, so the
+        # unknown-name probe uses a format the engine genuinely lacks
         with pytest.raises(FormatDetectionError, match="No handler registered"):
-            parse_document("<http://e/s> <http://e/p> <http://e/o> .", {"format": "n-quads"})
+            parse_document("<http://e/s> <http://e/p> <http://e/o> .", {"format": "trig"})
 
     def test_metadata_format_and_resource_count(self):
         r = parse_document(PRE + "<http://e/A> a rdfs:Class .")

@@ -10,6 +10,7 @@ import pytest
 
 from parser_rdf_ray.formats import detect, jsonld, rdfxml, turtle
 from parser_rdf_ray.model import ParseError
+from parser_rdf_ray.parser import parse_document
 
 INTEGRATION = pathlib.Path("/root/reference/tests/Fixtures/Integration")
 if not INTEGRATION.is_dir():  # parity fixtures live with the reference
@@ -41,7 +42,9 @@ class TestDetection:
         assert detect.detect_format("<html><body>nope</body></html>") == "unknown"
 
     def test_priority_jsonld_first(self):
-        assert detect.supported_formats() == ["json-ld", "turtle", "n-triples", "rdf/xml"]
+        assert detect.supported_formats() == [
+            "json-ld", "turtle", "n-quads", "n-triples", "rdf/xml"
+        ]
 
     def test_register_prepends(self):
         plug = detect.FormatPlugin("custom", lambda c: c.startswith("CUSTOM"), lambda c: ([], None))
@@ -418,3 +421,96 @@ class TestDetectionEdgeCases:
     def test_priority_turtle_beats_ntriples_when_both_match(self):
         doc = "@prefix x: <http://x/> .\n<http://a> <http://b> <http://c> ."
         assert detect.detect_format(doc) == "turtle"
+
+
+class TestNQuads:
+    """N-Quads input (beyond-reference: the read side of the N-Quads
+    export). Detection must never steal reference-scope content."""
+
+    NQ = (
+        "# comment\n"
+        "<http://a> <http://p> <http://b> <http://g1> .\n"
+        '<http://a> <http://p> "lit"@en .\n'
+        '_:x <http://p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> <http://g2> . # trailing\n'
+    )
+
+    def test_detection_and_graph_assembly(self):
+        r = parse_document(self.NQ)
+        assert r["format"] == "n-quads"
+        assert r["graphs"]["http://g1"]["triple_count"] == 1
+        assert r["graphs"]["http://g2"]["triple_count"] == 1
+        assert r["graphs"]["_:default"]["triple_count"] == 1
+        by_graph = {}
+        for t in r["triples"]:
+            by_graph.setdefault(t.graph or "_:default", []).append(t)
+        assert by_graph["http://g2"][0].obj == "42"
+        assert by_graph["http://g2"][0].obj_datatype.endswith("integer")
+        assert by_graph["_:default"][0].obj_lang == "en"
+
+    def test_pure_ntriples_keeps_its_handler(self):
+        nt = "<http://a> <http://p> <http://b> .\n<http://a> <http://p> \"x\" ."
+        assert detect.detect_format(nt) == "n-triples"
+
+    def test_explicit_format_override(self):
+        r = parse_document(
+            "<http://a> <http://p> <http://b> <http://g> .",
+            {"format": "n-quads"},
+        )
+        assert r["format"] == "n-quads"
+        assert r["triples"][0].graph == "http://g"
+
+    def test_error_message_carries_real_line_number(self):
+        bad = (
+            "<http://a> <http://p> <http://b> <http://g> .\n"
+            '<http://a> <http://p> "bad\\q" <http://g> .\n'
+        )
+        with pytest.raises(ParseError) as ei:
+            parse_document(bad, {"format": "n-quads"})
+        assert "line 2" in str(ei.value)
+        assert "invalid escape sequence" in str(ei.value)
+
+    def test_object_iri_never_stolen_as_graph(self):
+        # a 3-term line whose object is an IRI must stay a default-graph
+        # triple with that object (the parse-3-first rule)
+        r = parse_document(
+            "<http://a> <http://p> <http://obj> .\n"
+            "<http://a> <http://p> <http://obj> <http://g> .",
+            {"format": "n-quads"},
+        )
+        t0, t1 = r["triples"]
+        assert (t0.obj, t0.graph) == ("http://obj", "")
+        assert (t1.obj, t1.graph) == ("http://obj", "http://g")
+
+    def test_sink_round_trip_through_the_plugin(self):
+        # serialize via the export path, re-ingest via the format plugin
+        import pyarrow as pa
+
+        from parser_rdf_ray.sources.ntriples_sink import serialize_nquads_batch
+
+        # sink contract: subjects are (skolemized) IRIs, default graph is
+        # the '_:default' sentinel
+        batch = pa.Table.from_pydict(
+            {
+                "subj": ["http://s1", "http://s2"],
+                "subj_kind": ["iri", "iri"],
+                "pred": ["http://p", "http://p"],
+                "obj": ["ünï \"quoted\"", "http://o"],
+                "obj_kind": ["literal", "iri"],
+                "obj_datatype": ["", ""],
+                "obj_lang": ["de", ""],
+                "graph": ["http://g", "_:default"],
+            }
+        )
+        text = "\n".join(
+            serialize_nquads_batch(batch).column("line").to_pylist()
+        )
+        r = parse_document(text, {"format": "n-quads"})
+        got = {(t.subj, t.obj, t.graph) for t in r["triples"]}
+        assert ("http://s1", 'ünï "quoted"', "http://g") in got
+        assert any(o == "http://o" and g == "" for _, o, g in got)
+
+    def test_sniffer_never_throws_on_garbage(self):
+        from parser_rdf_ray.formats import nquads
+
+        assert nquads.can_handle("%%% not rdf at all") is False
+        assert nquads.can_handle("") is False
