@@ -514,3 +514,29 @@ class TestNQuads:
 
         assert nquads.can_handle("%%% not rdf at all") is False
         assert nquads.can_handle("") is False
+
+    def test_mutation_fuzz_error_contract(self):
+        """Scraped-data robustness (the codec-guard discipline applied to
+        the new parser): byte-mutated valid quad lines must yield
+        ParseError (or parse to something) — never IndexError/KeyError/
+        AttributeError — and can_handle must never throw."""
+        import random
+
+        from parser_rdf_ray.formats import nquads
+
+        rng = random.Random(99)
+        base = (
+            '<http://ex/s> <http://ex/p> "v\\u00fc"@de <http://ex/g> .\n'
+            "_:b <http://ex/p> <http://ex/o> <http://ex/g2> .\n"
+            '<http://ex/s> <http://ex/p> "42"^^<http://www.w3.org/2001/XMLSchema#int> .'
+        )
+        for _ in range(400):
+            b = bytearray(base.encode())
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(32, 127)
+            mutated = b.decode("utf-8", "replace")
+            assert nquads.can_handle(mutated) in (True, False)  # never raises
+            try:
+                nquads.parse(mutated)
+            except ParseError:
+                pass  # the contract
